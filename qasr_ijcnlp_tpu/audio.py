@@ -1,0 +1,287 @@
+"""Audio frontend: loading, padding, and the log-mel spectrogram.
+
+TPU-native rebuild of the reference Whisper audio frontend
+(/root/reference/whisper/whisper/audio.py:13-157).  Design differences from the
+reference (torch.stft + npz filterbank):
+
+* The STFT is expressed as a single strided convolution with windowed
+  DFT basis filters, so the whole frontend is two MXU matmuls
+  (audio -> power spectrum -> mel) instead of an FFT library call.
+* The mel filterbank is generated at runtime from the Slaney-scale formula
+  (numerically identical to the `librosa.filters.mel(sr=16000, n_fft=400)`
+  matrices shipped in the reference's ``mel_filters.npz``) - no data file.
+* A fused Pallas kernel (``qasr_ijcnlp_tpu.ops.mel``) covers the hot path on
+  TPU; this module provides the portable XLA formulation and the public API.
+
+Constants mirror /root/reference/whisper/whisper/audio.py:13-22.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import subprocess
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Hard-coded audio hyperparameters (reference audio.py:13-22).
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH = 30
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE  # 480000 samples in a 30-second chunk
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000 frames in a mel spectrogram input
+
+N_SAMPLES_PER_TOKEN = HOP_LENGTH * 2  # the initial convolutions have stride 2
+FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 10ms per audio frame
+TOKENS_PER_SECOND = SAMPLE_RATE // N_SAMPLES_PER_TOKEN  # 20ms per audio token
+
+
+# ---------------------------------------------------------------------------
+# Host-side audio IO
+# ---------------------------------------------------------------------------
+
+
+def _load_wav(file: str, sr: int) -> np.ndarray:
+    """Decode a PCM WAV file with the stdlib, mono-mixing and resampling."""
+    import wave
+
+    with wave.open(file, "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported WAV sample width: {width}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    if rate != sr:
+        # Linear-interpolation resample; adequate for CLI use without ffmpeg.
+        n_out = int(round(len(data) * sr / rate))
+        x_old = np.arange(len(data), dtype=np.float64) / rate
+        x_new = np.arange(n_out, dtype=np.float64) / sr
+        data = np.interp(x_new, x_old, data).astype(np.float32)
+    return data
+
+
+def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Open an audio file as a mono float32 waveform at ``sr`` Hz.
+
+    Mirrors the reference CLI surface (audio.py:25-62): prefers the ``ffmpeg``
+    binary when present; falls back to a stdlib WAV decoder and, if installed,
+    ``soundfile`` for other formats.
+    """
+    cmd = [
+        "ffmpeg", "-nostdin", "-threads", "0", "-i", file,
+        "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le", "-ar", str(sr), "-",
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+        return np.frombuffer(out, np.int16).flatten().astype(np.float32) / 32768.0
+    except FileNotFoundError:
+        pass  # no ffmpeg binary on this host
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"Failed to load audio: {e.stderr.decode()}") from e
+
+    if file.lower().endswith(".wav"):
+        return _load_wav(file, sr)
+    try:
+        import soundfile  # type: ignore
+
+        data, rate = soundfile.read(file, dtype="float32", always_2d=True)
+        data = data.mean(axis=1)
+        if rate != sr:
+            n_out = int(round(len(data) * sr / rate))
+            x_old = np.arange(len(data), dtype=np.float64) / rate
+            x_new = np.arange(n_out, dtype=np.float64) / sr
+            data = np.interp(x_new, x_old, data).astype(np.float32)
+        return data.astype(np.float32)
+    except ImportError:
+        raise RuntimeError(
+            f"Cannot decode {file!r}: no ffmpeg binary and no soundfile package; "
+            "only PCM WAV is supported natively."
+        )
+
+
+def pad_or_trim(array, length: int = N_SAMPLES, *, axis: int = -1):
+    """Pad with zeros or trim ``array`` to ``length`` along ``axis``.
+
+    Works on numpy and JAX arrays (reference audio.py:65-88).
+    """
+    xp = jnp if isinstance(array, jax.Array) else np
+    if array.shape[axis] > length:
+        index = [slice(None)] * array.ndim
+        index[axis] = slice(0, length)
+        array = array[tuple(index)]
+    if array.shape[axis] < length:
+        pad_widths = [(0, 0)] * array.ndim
+        pad_widths[axis] = (0, length - array.shape[axis])
+        array = xp.pad(array, pad_widths)
+    return array
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (Slaney scale, matching librosa.filters.mel defaults)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freq - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = freq >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(
+        log_region, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs
+    )
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filters(n_mels: int, sr: int = SAMPLE_RATE, n_fft: int = N_FFT) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape (n_mels, 1 + n_fft//2).
+
+    Numerically reproduces ``librosa.filters.mel(sr=16000, n_fft=400,
+    n_mels={80,128})``, i.e. the matrices the reference loads from
+    ``assets/mel_filters.npz`` (audio.py:91-107), without shipping the file.
+    """
+    assert n_mels in {80, 128}, f"Unsupported n_mels: {n_mels}"
+    fftfreqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    mel_min = _hz_to_mel_slaney(np.array(0.0))
+    mel_max = _hz_to_mel_slaney(np.array(sr / 2.0))
+    mel_f = _mel_to_hz_slaney(np.linspace(mel_min, mel_max, n_mels + 2))
+
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney-style area normalization.
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mel_basis(n_mels: int):
+    """Windowed DFT basis folded with the mel filterbank.
+
+    Returns (basis, mel) where ``basis`` has shape (2*(1+n_fft//2), n_fft):
+    rows are [cos_k * hann; -sin_k * hann], so that for a frame x,
+    ``y = basis @ x`` gives stacked (real, imag) parts and
+    ``power = y_real**2 + y_imag**2`` is the STFT power spectrum.
+    """
+    n_bins = 1 + N_FFT // 2
+    t = np.arange(N_FFT)
+    k = np.arange(n_bins)[:, None]
+    # Periodic Hann window, matching torch.hann_window(N_FFT).
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * t / N_FFT)
+    angle = 2 * np.pi * k * t[None, :] / N_FFT
+    cos_b = np.cos(angle) * hann[None, :]
+    sin_b = -np.sin(angle) * hann[None, :]
+    basis = np.concatenate([cos_b, sin_b], axis=0).astype(np.float32)
+    # numpy (not jnp) so the lru_cache never captures jit tracers; jit folds
+    # these constants at trace time.
+    return basis, mel_filters(n_mels)
+
+
+def _stft_power(audio: jnp.ndarray, n_mels: int) -> jnp.ndarray:
+    """Framed power spectrum via one strided conv on the MXU.
+
+    ``audio``: (..., n_samples), already reflect-padded by n_fft//2 on both
+    sides.  Returns (..., n_frames, 1 + n_fft//2).
+    """
+    basis = jnp.asarray(_dft_mel_basis(n_mels)[0])
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    lead = audio.shape[:-1]
+    x = audio.reshape((-1, 1, audio.shape[-1]))  # (B, C=1, L)
+    y = jax.lax.conv_general_dilated(
+        x,
+        basis[:, None, :],  # (out=2*bins, in=1, width=n_fft)
+        window_strides=(HOP_LENGTH,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, 2*bins, n_frames)
+    n_bins = 1 + N_FFT // 2
+    power = y[:, :n_bins, :] ** 2 + y[:, n_bins:, :] ** 2  # (B, bins, frames)
+    power = jnp.moveaxis(power, -1, -2)  # (B, frames, bins)
+    power = power.reshape(lead + power.shape[1:])
+    if squeeze:
+        power = power[0]
+    return power
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "padding"))
+def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
+    if padding > 0:
+        pad = [(0, 0)] * (audio.ndim - 1) + [(0, padding)]
+        audio = jnp.pad(audio, pad)
+    # torch.stft(center=True) reflect-pads n_fft//2 on both sides.
+    pad = [(0, 0)] * (audio.ndim - 1) + [(N_FFT // 2, N_FFT // 2)]
+    audio = jnp.pad(audio, pad, mode="reflect")
+    power = _stft_power(audio.astype(jnp.float32), n_mels)
+    # Reference drops the final frame (audio.py:149).
+    power = power[..., :-1, :]
+    mel_fb = jnp.asarray(_dft_mel_basis(n_mels)[1])
+    mel_spec = jnp.einsum(
+        "mf,...tf->...mt",
+        mel_fb,
+        power,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def log_mel_spectrogram(
+    audio: Union[str, np.ndarray, jnp.ndarray],
+    n_mels: int = 80,
+    padding: int = 0,
+    device: Optional[object] = None,
+) -> jnp.ndarray:
+    """Log-mel spectrogram of 16 kHz audio, shape (..., n_mels, n_frames).
+
+    Matches the reference pipeline (audio.py:110-157): periodic-Hann STFT
+    (n_fft=400, hop=160, centered/reflect), power spectrum, Slaney mel
+    projection, log10, clamp to (max - 8), then ``(x + 4) / 4``.
+
+    Note: like the reference, the dynamic-range clamp uses the *global* max
+    over all leading dims of a batched call.
+    """
+    if isinstance(audio, str):
+        audio = load_audio(audio)
+    audio = jnp.asarray(audio, dtype=jnp.float32)
+    if device is not None:
+        audio = jax.device_put(audio, device)
+    return _log_mel_jit(audio, n_mels, padding)
