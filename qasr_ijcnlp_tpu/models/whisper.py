@@ -1,0 +1,436 @@
+"""Pure-functional Whisper encoder/decoder in JAX.
+
+From-scratch TPU-native re-design of the reference model
+(/root/reference/whisper/whisper/model.py:39-345).  Key departures from the
+torch implementation:
+
+* Parameters are a plain pytree (nested dicts of arrays) with all transformer
+  blocks of a stack *stacked along a leading layer axis* and executed with
+  ``lax.scan`` - one compiled block body regardless of depth, shardable with
+  ``NamedSharding`` along (layer, heads/mlp) axes.
+* The kv-cache is an explicit fixed-shape array pytree threaded through the
+  decode step (the reference mutates a dict via forward hooks,
+  model.py:310-341 - hooks are untraceable under jit).
+* Mixed precision is a policy: activations in ``compute_dtype`` (bf16 on
+  TPU), LayerNorm/softmax/logits always fp32 (the reference casts weights to
+  the activation dtype per-op, model.py:39-59, and computes LN in fp32).
+* Attention uses the 4th-root scaling of the reference (model.py:118) and
+  optionally a Pallas flash-attention kernel for the 1500-frame encoder.
+
+Weight-layout convention: Linear weights are stored ``(in, out)`` so the
+forward is ``x @ w + b``; conv stem weights are ``(out, in, k)`` matching
+XLA's OIH.  ``models.convert`` maps the torch layout to this one.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dims import ModelDimensions
+
+Params = Dict[str, Any]
+
+# Toggle for the Pallas flash-attention path (TPU only; set by ops.flash).
+_USE_FLASH = False
+
+
+def set_flash_attention(enabled: bool) -> None:
+    global _USE_FLASH
+    _USE_FLASH = enabled
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
+    """Sinusoidal position embeddings (reference model.py:62-68)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate(
+        [np.sin(scaled_time), np.cos(scaled_time)], axis=1
+    ).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_linear(key, d_in, d_out, bias=True):
+    # torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in)) for w and b.
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {"w": jax.random.uniform(k1, (d_in, d_out), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (d_out,), jnp.float32, -bound, bound)
+    return p
+
+
+def _init_ln(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _init_block(key, d, cross_attention: bool):
+    ks = jax.random.split(key, 8)
+    block = {
+        "attn": {
+            "query": _init_linear(ks[0], d, d),
+            "key": _init_linear(ks[1], d, d, bias=False),
+            "value": _init_linear(ks[2], d, d),
+            "out": _init_linear(ks[3], d, d),
+        },
+        "attn_ln": _init_ln(d),
+        "mlp": {
+            "fc": _init_linear(ks[4], d, 4 * d),
+            "proj": _init_linear(ks[5], 4 * d, d),
+        },
+        "mlp_ln": _init_ln(d),
+    }
+    if cross_attention:
+        block["cross_attn"] = {
+            "query": _init_linear(ks[6], d, d),
+            "key": _init_linear(ks[7], d, d, bias=False),
+            "value": _init_linear(jax.random.fold_in(key, 100), d, d),
+            "out": _init_linear(jax.random.fold_in(key, 101), d, d),
+        }
+        block["cross_attn_ln"] = _init_ln(d)
+    return block
+
+
+def _stack_blocks(blocks):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(key, dims: ModelDimensions) -> Params:
+    """Random-init parameter pytree for the full encoder-decoder."""
+    k_enc, k_dec, k_conv1, k_conv2, k_emb, k_pos = jax.random.split(key, 6)
+    d = dims.n_audio_state
+
+    def conv_init(k, out_c, in_c, width):
+        bound = 1.0 / math.sqrt(in_c * width)
+        k1, k2 = jax.random.split(k)
+        return {
+            "w": jax.random.uniform(k1, (out_c, in_c, width), jnp.float32, -bound, bound),
+            "b": jax.random.uniform(k2, (out_c,), jnp.float32, -bound, bound),
+        }
+
+    enc_blocks = [
+        _init_block(jax.random.fold_in(k_enc, i), d, cross_attention=False)
+        for i in range(dims.n_audio_layer)
+    ]
+    dec_blocks = [
+        _init_block(jax.random.fold_in(k_dec, i), dims.n_text_state, True)
+        for i in range(dims.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": conv_init(k_conv1, d, dims.n_mels, 3),
+            "conv2": conv_init(k_conv2, d, d, 3),
+            "pos": jnp.asarray(sinusoids(dims.n_audio_ctx, d)),
+            "blocks": _stack_blocks(enc_blocks),
+            "ln_post": _init_ln(d),
+        },
+        "decoder": {
+            "tok_emb": jax.random.normal(k_emb, (dims.n_vocab, dims.n_text_state))
+            * 0.02,
+            "pos_emb": jax.random.normal(k_pos, (dims.n_text_ctx, dims.n_text_state))
+            * 0.01,
+            "blocks": _stack_blocks(dec_blocks),
+            "ln": _init_ln(dims.n_text_state),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, p, eps: float = 1e-5):
+    # fp32 LN regardless of activation dtype (reference model.py:39-41).
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def linear(x, p):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-head attention with 4th-root scaling; softmax in fp32.
+
+    q: (B, Tq, D), k/v: (B, Tk, D); mask: additive, broadcastable to
+    (B, 1, Tq, Tk) or (Tq, Tk).
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head**-0.25
+    qh = _split_heads(q, n_head) * scale
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+
+    if _USE_FLASH and mask is None:
+        from ..ops.flash import flash_attention
+
+        out = flash_attention(qh, kh, vh)
+        return _merge_heads(out.astype(q.dtype))
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return _merge_heads(out)
+
+
+def _self_attn(p, x, n_head, mask=None):
+    q = linear(x, p["query"])
+    k = linear(x, p["key"])
+    v = linear(x, p["value"])
+    return linear(attention(q, k, v, n_head, mask), p["out"])
+
+
+def _mlp(p, x):
+    return linear(jax.nn.gelu(linear(x, p["fc"]), approximate=False), p["proj"])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _conv1d(x, p, stride: int):
+    # x: (B, C, T); w: (O, I, K); SAME-ish padding of 1 (kernel 3).
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(stride,),
+            padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=x.dtype,
+        )
+        + p["b"].astype(x.dtype)[None, :, None]
+    )
+
+
+def encoder_apply(
+    params: Params,
+    mel: jnp.ndarray,
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Audio encoder forward: (B, n_mels, 3000) -> (B, 1500, D)."""
+    x = mel.astype(compute_dtype)
+    x = jax.nn.gelu(_conv1d(x, params["conv1"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, params["conv2"], 2), approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T, D)
+    x = x + params["pos"].astype(x.dtype)
+
+    n_head = dims.n_audio_head
+
+    def block(x, bp):
+        x = x + _self_attn(bp["attn"], layer_norm(x, bp["attn_ln"]), n_head)
+        x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    return layer_norm(x, params["ln_post"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder (teacher-forced full-context and cached incremental paths)
+# ---------------------------------------------------------------------------
+
+
+def decoder_apply(
+    params: Params,
+    tokens: jnp.ndarray,
+    xa: jnp.ndarray,
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Teacher-forced decoder forward: tokens (B, T), xa (B, Ta, D) -> logits
+    (B, T, vocab) in fp32."""
+    B, T = tokens.shape
+    n_head = dims.n_text_head
+    x = params["tok_emb"][tokens] + params["pos_emb"][:T]
+    x = x.astype(compute_dtype)
+    xa = xa.astype(compute_dtype)
+    causal = jnp.where(
+        jnp.arange(T)[:, None] >= jnp.arange(T)[None, :], 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    def block(x, bp):
+        x = x + _self_attn(bp["attn"], layer_norm(x, bp["attn_ln"]), n_head, causal)
+        xq = layer_norm(x, bp["cross_attn_ln"])
+        q = linear(xq, bp["cross_attn"]["query"])
+        k = linear(xa, bp["cross_attn"]["key"])
+        v = linear(xa, bp["cross_attn"]["value"])
+        x = x + linear(attention(q, k, v, n_head), bp["cross_attn"]["out"])
+        x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x = layer_norm(x, params["ln"])
+    logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
+    return logits
+
+
+def init_kv_cache(
+    dims: ModelDimensions, batch: int, dtype=jnp.float32
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-shape kv-cache pytree for incremental decoding.
+
+    Self-attention caches are (L, B, n_text_ctx, D); cross-attention caches
+    are filled once per audio segment by :func:`precompute_cross_kv`.
+    """
+    L, T, D = dims.n_text_layer, dims.n_text_ctx, dims.n_text_state
+    Ta = dims.n_audio_ctx
+    z = lambda *s: jnp.zeros(s, dtype)
+    return {
+        "self_k": z(L, batch, T, D),
+        "self_v": z(L, batch, T, D),
+        "cross_k": z(L, batch, Ta, D),
+        "cross_v": z(L, batch, Ta, D),
+        "idx": jnp.zeros((), jnp.int32),
+    }
+
+
+def precompute_cross_kv(params: Params, xa: jnp.ndarray, cache: Dict) -> Dict:
+    """Project encoder output to per-layer cross-attention K/V once."""
+    xa = xa.astype(cache["cross_k"].dtype)
+
+    def layer(_, bp):
+        k = linear(xa, bp["cross_attn"]["key"])
+        v = linear(xa, bp["cross_attn"]["value"])
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(layer, None, params["blocks"])
+    return {**cache, "cross_k": ks, "cross_v": vs}
+
+
+def decoder_step(
+    params: Params,
+    tokens: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray],
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Incremental decoder forward over ``tokens`` (B, T_new) starting at
+    cache position ``cache['idx']``.  Returns (logits (B, T_new, vocab) fp32,
+    updated cache).
+
+    The first call may pass the whole prompt (T_new = prompt length); later
+    calls pass a single token (T_new = 1).  All shapes are static; the write
+    offset is dynamic.
+    """
+    B, T_new = tokens.shape
+    n_head = dims.n_text_head
+    Tmax = dims.n_text_ctx
+    offset = cache["idx"]
+
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], offset, T_new, axis=0)
+    x = (params["tok_emb"][tokens] + pos).astype(compute_dtype)
+
+    # Mask over the full cache length: key j visible to query i (absolute
+    # position offset+i) iff j <= offset+i.
+    q_pos = offset + jnp.arange(T_new)
+    k_pos = jnp.arange(Tmax)
+    mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, -jnp.inf).astype(
+        jnp.float32
+    )
+
+    def block(carry, layer_in):
+        x = carry
+        bp, self_k, self_v, cross_k, cross_v = layer_in
+        xn = layer_norm(x, bp["attn_ln"])
+        q = linear(xn, bp["attn"]["query"])
+        k_new = linear(xn, bp["attn"]["key"])
+        v_new = linear(xn, bp["attn"]["value"])
+        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, offset, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, offset, axis=1)
+        x = x + linear(
+            attention(q, self_k, self_v, n_head, mask), bp["attn"]["out"]
+        )
+
+        xq = layer_norm(x, bp["cross_attn_ln"])
+        qc = linear(xq, bp["cross_attn"]["query"])
+        x = x + linear(
+            attention(qc, cross_k, cross_v, n_head), bp["cross_attn"]["out"]
+        )
+        x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
+        return x, (self_k, self_v)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        block,
+        x,
+        (
+            params["blocks"],
+            cache["self_k"],
+            cache["self_v"],
+            cache["cross_k"],
+            cache["cross_v"],
+        ),
+    )
+    x = layer_norm(x, params["ln"])
+    logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
+    new_cache = {
+        **cache,
+        "self_k": new_k,
+        "self_v": new_v,
+        "idx": offset + T_new,
+    }
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Whole-model conveniences
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def forward(
+    params: Params,
+    mel: jnp.ndarray,
+    tokens: jnp.ndarray,
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Full forward (reference Whisper.forward, model.py:293-296)."""
+    xa = encoder_apply(params["encoder"], mel, dims, compute_dtype)
+    return decoder_apply(params["decoder"], tokens, xa, dims, compute_dtype)
+
+
+def is_multilingual(dims: ModelDimensions) -> bool:
+    return dims.n_vocab >= 51865
+
+
+def num_languages(dims: ModelDimensions) -> int:
+    return dims.n_vocab - 51765 - int(is_multilingual(dims))

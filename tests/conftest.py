@@ -7,14 +7,18 @@ PyTorch implementation on CPU.
 
 import os
 
-# Unconditional: the ambient environment may pin an accelerator platform
-# (e.g. JAX_PLATFORMS=axon for the tunneled TPU); tests run on virtual CPUs.
-os.environ["JAX_PLATFORMS"] = os.environ.get("QASR_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# Unconditional: the ambient environment pins an accelerator platform via a
+# site config (jax_platforms=axon,cpu) that overrides JAX_PLATFORMS; tests run
+# on virtual CPUs unless QASR_TEST_PLATFORM says otherwise.
+jax.config.update("jax_platforms", os.environ.get("QASR_TEST_PLATFORM", "cpu"))
 
 import numpy as np
 import pytest
