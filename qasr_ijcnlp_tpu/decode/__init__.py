@@ -1,0 +1,432 @@
+"""Decoding API: options, results, language detection, and decode().
+
+Host-side orchestration over the jitted loops in decode/loop.py; the public
+surface mirrors the reference (whisper/decoding.py:80-127, 792-826) so
+downstream code and CLIs are drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field, replace
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import CHUNK_LENGTH
+from ..models import whisper as model
+from ..models.dims import ModelDimensions
+from ..tokenizer import Tokenizer, get_tokenizer
+from ..utils import compression_ratio
+from . import loop as _loop
+from .filters import build_config
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    """Mirror of the reference options (decoding.py:80-114)."""
+
+    task: str = "transcribe"
+    language: Optional[str] = None
+
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None
+    beam_size: Optional[int] = None
+    patience: Optional[float] = None
+
+    length_penalty: Optional[float] = None
+
+    prompt: Optional[Union[str, List[int]]] = None
+    prefix: Optional[Union[str, List[int]]] = None
+
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    # On TPU "fp16" selects bfloat16 (the native half precision); fp32 off it.
+    fp16: bool = True
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: Optional[np.ndarray]
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+def _compute_dtype(fp16: bool) -> str:
+    if not fp16:
+        return "float32"
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def _encode_mel(params, mel, dims, compute_dtype):
+    return model.encoder_apply(
+        params["encoder"], mel, dims, jnp.dtype(compute_dtype)
+    )
+
+
+def _audio_features(model_obj, mel: jnp.ndarray, fp16: bool) -> jnp.ndarray:
+    dims = model_obj.dims
+    if mel.shape[-2:] == (dims.n_audio_ctx, dims.n_audio_state):
+        return mel  # already encoded
+    return _encode_mel(model_obj.params, mel, dims, _compute_dtype(fp16))
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "mask_key"))
+def _lang_logits(params, audio_features, sot: int, dims, mask_key, mask):
+    B = audio_features.shape[0]
+    x = jnp.full((B, 1), sot, jnp.int32)
+    logits = model.decoder_apply(params["decoder"], x, audio_features, dims)[:, 0]
+    return jnp.where(mask, logits, -jnp.inf)
+
+
+def detect_language(
+    model_obj, mel, tokenizer: Optional[Tokenizer] = None
+) -> Tuple[np.ndarray, List[Dict[str, float]]]:
+    """Most probable language token + per-language probabilities.
+
+    Reference: whisper/decoding.py:18-77.
+    """
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            model_obj.is_multilingual, num_languages=model_obj.num_languages
+        )
+    if (
+        tokenizer.language is None
+        or tokenizer.language_token not in tokenizer.sot_sequence
+    ):
+        raise ValueError(
+            "This model doesn't have language tokens so it can't perform lang id"
+        )
+
+    mel = jnp.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    xa = _audio_features(model_obj, mel, fp16=True)
+
+    mask = np.zeros(model_obj.dims.n_vocab, bool)
+    mask[list(tokenizer.all_language_tokens)] = True
+    logits = _lang_logits(
+        model_obj.params, xa, tokenizer.sot, model_obj.dims,
+        "langs", jnp.asarray(mask),
+    )
+    language_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    language_probs = [
+        {
+            c: float(probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(mel.shape[0])
+    ]
+    if single:
+        return language_tokens[0], language_probs[0]
+    return language_tokens, language_probs
+
+
+class DecodingTask:
+    """Host-side planner: resolves options to static loop configs, runs the
+    jitted loop, post-processes to DecodingResults."""
+
+    def __init__(self, model_obj, options: DecodingOptions):
+        self.model = model_obj
+        language = options.language or "en"
+        self.tokenizer = get_tokenizer(
+            model_obj.is_multilingual,
+            num_languages=model_obj.num_languages,
+            language=language,
+            task=options.task,
+        )
+        self.options = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model_obj.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model_obj.dims.n_text_ctx // 2
+
+        self.sot_sequence = self.tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = self.tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(self.tokenizer.sot)
+
+        max_initial_timestamp_index = None
+        if not options.without_timestamps and options.max_initial_timestamp:
+            precision = CHUNK_LENGTH / model_obj.dims.n_audio_ctx
+            max_initial_timestamp_index = round(
+                options.max_initial_timestamp / precision
+            )
+
+        filters = build_config(
+            self.tokenizer,
+            model_obj.dims.n_vocab,
+            self.sample_begin,
+            self._get_suppress_tokens() if options.suppress_tokens else (),
+            options.suppress_blank,
+            options.without_timestamps,
+            max_initial_timestamp_index,
+        )
+        self.loop_cfg = _loop.LoopConfig(
+            dims=model_obj.dims,
+            filters=filters,
+            sample_begin=self.sample_begin,
+            sot_index=self.sot_index,
+            sample_len=self.sample_len,
+            eot=self.tokenizer.eot,
+            timestamp_begin=min(self.tokenizer.timestamp_begin, model_obj.dims.n_vocab),
+            no_speech=self.tokenizer.no_speech
+            if self.tokenizer.no_speech is not None
+            and self.tokenizer.no_speech < model_obj.dims.n_vocab
+            else None,
+            compute_dtype=_compute_dtype(options.fp16),
+        )
+
+    # -- option/prompt resolution (reference decoding.py:572-642) -----------
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (
+            0 <= options.length_penalty <= 1
+        ):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else prefix
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else prompt
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
+                + tokens
+            )
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        suppress_tokens = self.options.suppress_tokens
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+        elif suppress_tokens is None or len(suppress_tokens) == 0:
+            suppress_tokens = []
+        else:
+            assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+        return tuple(sorted(set(t for t in suppress_tokens if t < self.model.dims.n_vocab)))
+
+    # -- ranking (reference MaximumLikelihoodRanker, decoding.py:190-213) ----
+
+    def _rank(self, tokens: List[List[List[int]]], sum_logprobs: List[List[float]]):
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                if self.options.length_penalty is None:
+                    penalty = length
+                else:
+                    penalty = ((5 + length) / 6) ** self.options.length_penalty
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [
+            int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)
+        ]
+
+    # -- main entry ----------------------------------------------------------
+
+    def run(self, mel: jnp.ndarray) -> List[DecodingResult]:
+        tokenizer = self.tokenizer
+        n_audio = mel.shape[0]
+        opts = self.options
+
+        audio_features = _audio_features(self.model, mel, opts.fp16)
+
+        # language detection (overwrites the language slot in sot_sequence)
+        languages = [opts.language] * n_audio
+        language_probs = None
+        init = np.tile(np.asarray(self.initial_tokens, np.int32), (n_audio, 1))
+        if opts.language is None or opts.task == "lang_id":
+            lang_tokens, language_probs = detect_language(
+                self.model, audio_features, tokenizer
+            )
+            languages = [max(p, key=p.get) for p in language_probs]
+            if opts.language is None:
+                init[:, self.sot_index + 1] = np.asarray(lang_tokens)
+        if opts.task == "lang_id":
+            return [
+                DecodingResult(
+                    audio_features=np.asarray(audio_features[i]),
+                    language=languages[i],
+                    language_probs=language_probs[i],
+                )
+                for i in range(n_audio)
+            ]
+
+        init_rep = np.repeat(init, self.n_group, axis=0)
+        xa_rep = jnp.repeat(audio_features, self.n_group, axis=0)
+
+        if opts.beam_size is not None:
+            out = self._run_beam(xa_rep, init_rep)
+        else:
+            out = self._run_greedy(xa_rep, init_rep)
+        tokens_lists, logprobs_lists, no_speech_probs = out
+
+        # slice sampled region and cut at eot
+        eot = tokenizer.eot
+        sliced: List[List[List[int]]] = []
+        for group in tokens_lists:
+            row = []
+            for seq in group:
+                seq = list(seq[self.sample_begin :])
+                if eot in seq:
+                    seq = seq[: seq.index(eot)]
+                row.append(seq)
+            sliced.append(row)
+
+        selected = self._rank(sliced, logprobs_lists)
+        tokens = [g[i] for i, g in zip(selected, sliced)]
+        texts = [tokenizer.decode(t).strip() for t in tokens]
+        sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_lists)]
+        avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]
+
+        return [
+            DecodingResult(
+                audio_features=np.asarray(audio_features[i]),
+                language=languages[i],
+                tokens=tokens[i],
+                text=texts[i],
+                avg_logprob=float(avg_logprobs[i]),
+                no_speech_prob=float(no_speech_probs[i]),
+                temperature=opts.temperature,
+                compression_ratio=compression_ratio(texts[i]),
+            )
+            for i in range(n_audio)
+        ]
+
+    def _run_greedy(self, xa_rep, init_rep):
+        n_rep = init_rep.shape[0]
+        n_audio = n_rep // self.n_group
+        rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        buf, cur_len, sum_lp, no_speech = _loop.greedy_decode(
+            self.model.params,
+            self.loop_cfg,
+            xa_rep,
+            jnp.asarray(init_rep),
+            rng,
+            float(self.options.temperature),
+        )
+        buf = np.asarray(buf)
+        sum_lp = np.asarray(sum_lp)
+        no_speech = np.asarray(no_speech)[:: self.n_group]
+        tokens_lists = [
+            [buf[i * self.n_group + g] for g in range(self.n_group)]
+            for i in range(n_audio)
+        ]
+        logprob_lists = [
+            [float(sum_lp[i * self.n_group + g]) for g in range(self.n_group)]
+            for i in range(n_audio)
+        ]
+        return tokens_lists, logprob_lists, no_speech
+
+    def _run_beam(self, xa_rep, init_rep):
+        K = self.options.beam_size
+        patience = self.options.patience or 1.0
+        C = max(round(K * patience), 1)
+        beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech = (
+            _loop.beam_decode(
+                self.model.params,
+                self.loop_cfg,
+                xa_rep,
+                jnp.asarray(init_rep),
+                K,
+                C,
+            )
+        )
+        beams = np.asarray(beams)
+        beam_scores = np.asarray(beam_scores)
+        fin_toks = np.asarray(fin_toks)
+        fin_scores = np.asarray(fin_scores)
+        fin_count = np.asarray(fin_count)
+        no_speech = np.asarray(no_speech)
+
+        # Finalize (reference BeamSearchDecoder.finalize, decoding.py:384-404):
+        # top up with unfinished beams when fewer than beam_size finished.
+        tokens_lists, logprob_lists = [], []
+        for b in range(beams.shape[0]):
+            seqs = [list(fin_toks[b, c]) for c in range(int(fin_count[b]))]
+            scores = [float(fin_scores[b, c]) for c in range(int(fin_count[b]))]
+            if len(seqs) < K:
+                for j in np.argsort(beam_scores[b])[::-1]:
+                    seq = list(beams[b, j]) + [self.tokenizer.eot]
+                    seqs.append(seq)
+                    scores.append(float(beam_scores[b, j]))
+                    if len(seqs) >= K:
+                        break
+            tokens_lists.append(seqs)
+            logprob_lists.append(scores)
+        return tokens_lists, logprob_lists, no_speech
+
+
+def decode(
+    model_obj,
+    mel,
+    options: DecodingOptions = DecodingOptions(),
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second mel segment(s) (reference decoding.py:792-826)."""
+    mel = jnp.asarray(mel)
+    if single := mel.ndim == 2:
+        mel = mel[None]
+    if kwargs:
+        options = replace(options, **kwargs)
+    result = DecodingTask(model_obj, options).run(mel)
+    return result[0] if single else result

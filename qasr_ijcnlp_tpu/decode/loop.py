@@ -1,0 +1,315 @@
+"""Jitted autoregressive decode loops (greedy/sampling and beam search).
+
+The reference's ``DecodingTask._main_loop`` (whisper/decoding.py:680-710) is a
+Python loop over tokens with hook-based kv-caching and per-row Python logit
+filters.  Here the whole loop is a single ``lax.while_loop`` under ``jit``:
+
+* fixed-shape token buffers (B, n_text_ctx + 1); the write index is the only
+  dynamic value, so XLA keeps the cache update in-place;
+* the filter state (last/penultimate token, running max timestamp) is carried
+  as scalars-per-row instead of re-scanning the history;
+* beam search (reference BeamSearchDecoder, decoding.py:301-404) is
+  re-expressed with fixed-shape sort/cumsum selection and a bounded finished
+  set, exactly reproducing the reference's candidate-scan semantics including
+  the early break after `beam_size` unfinished candidates.
+
+Everything here is shape-static per (dims, options) signature; the host-side
+wrapper in decode/__init__.py caches the compiled functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import whisper as model
+from ..models.dims import ModelDimensions
+from .filters import FilterConfig, apply_filters, _log_softmax
+
+
+class LoopConfig(NamedTuple):
+    dims: ModelDimensions
+    filters: FilterConfig
+    sample_begin: int  # == len(initial_tokens)
+    sot_index: int
+    sample_len: int
+    eot: int
+    timestamp_begin: int
+    no_speech: Optional[int]
+    compute_dtype: str = "float32"
+
+
+def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
+    """Encoder features -> cross-kv + prompt logits + no-speech probs."""
+    B = initial_tokens.shape[0]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    cache = model.init_kv_cache(cfg.dims, B, dtype)
+    cache = model.precompute_cross_kv(params["decoder"], audio_features, cache)
+    logits_all, cache = model.decoder_step(
+        params["decoder"], initial_tokens, cache, cfg.dims, dtype
+    )
+    if cfg.no_speech is not None:
+        probs_at_sot = jax.nn.softmax(
+            logits_all[:, cfg.sot_index].astype(jnp.float32), axis=-1
+        )
+        no_speech_probs = probs_at_sot[:, cfg.no_speech]
+    else:
+        no_speech_probs = jnp.full((B,), jnp.nan, jnp.float32)
+    return cache, logits_all[:, -1], no_speech_probs
+
+
+def _filter_state(tokens_buf, cur_len, cfg: LoopConfig):
+    """(last, prev, max_ts) per row, derived once at loop entry."""
+    B = tokens_buf.shape[0]
+    last = jnp.full((B,), -1, jnp.int32)
+    prev = jnp.full((B,), -1, jnp.int32)
+    max_ts = jnp.zeros((B,), jnp.int32)
+    return last, prev, max_ts
+
+
+def _update_ts_state(last, prev, max_ts, next_tok, ts_begin):
+    prev = last
+    last = next_tok
+    is_ts = next_tok >= ts_begin
+    max_ts = jnp.where(is_ts, jnp.maximum(max_ts, next_tok), max_ts)
+    return last, prev, max_ts
+
+
+# ---------------------------------------------------------------------------
+# Greedy / temperature sampling
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature"))
+def greedy_decode(
+    params,
+    cfg: LoopConfig,
+    audio_features: jnp.ndarray,  # (B, Ta, D)
+    initial_tokens: jnp.ndarray,  # (B, sample_begin)
+    rng: jnp.ndarray,
+    temperature: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens_buf (B, n_ctx+1), final_len, sum_logprobs, no_speech)."""
+    B = initial_tokens.shape[0]
+    n_ctx = cfg.dims.n_text_ctx
+    eot = cfg.eot
+
+    cache, logits, no_speech_probs = _prompt_pass(
+        params, cfg, audio_features, initial_tokens
+    )
+
+    buf = jnp.full((B, n_ctx + 1), eot, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0, 0))
+    cur_len = jnp.asarray(cfg.sample_begin, jnp.int32)
+    sum_logprobs = jnp.zeros((B,), jnp.float32)
+    finished = jnp.zeros((B,), bool)
+    last, prev, max_ts = _filter_state(buf, cur_len, cfg)
+
+    def cond(state):
+        i, _, cur_len = state[0], state[1], state[2]
+        finished = state[5]
+        return (
+            (i < cfg.sample_len)
+            & ~jnp.all(finished)
+            & (cur_len <= cfg.dims.n_text_ctx)
+        )
+
+    def body(state):
+        (i, buf, cur_len, cache, sum_logprobs, finished, logits, last, prev,
+         max_ts, rng) = state
+        filtered = apply_filters(cfg.filters, logits, cur_len, last, prev, max_ts)
+        if temperature == 0.0:
+            next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        else:
+            rng, key = jax.random.split(rng)
+            next_tok = jax.random.categorical(key, filtered / temperature).astype(
+                jnp.int32
+            )
+        logprobs = _log_softmax(filtered)
+        cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
+        sum_logprobs = sum_logprobs + cur_lp * (~finished)
+        next_tok = jnp.where(finished, eot, next_tok)
+        buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, next_tok)
+        finished = finished | (next_tok == eot)
+        last, prev, max_ts = _update_ts_state(
+            last, prev, max_ts, next_tok, cfg.timestamp_begin
+        )
+        step_logits, cache = model.decoder_step(
+            params["decoder"], next_tok[:, None], cache, cfg.dims,
+            jnp.dtype(cfg.compute_dtype),
+        )
+        return (i + 1, buf, cur_len + 1, cache, sum_logprobs, finished,
+                step_logits[:, 0], last, prev, max_ts, rng)
+
+    state = (jnp.asarray(0, jnp.int32), buf, cur_len, cache, sum_logprobs,
+             finished, logits, last, prev, max_ts, rng)
+    state = jax.lax.while_loop(cond, body, state)
+    _, buf, cur_len, _, sum_logprobs, _, _, _, _, _, _ = state
+    return buf, cur_len, sum_logprobs, no_speech_probs
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_candidates"))
+def beam_decode(
+    params,
+    cfg: LoopConfig,
+    audio_features: jnp.ndarray,  # (B*K, Ta, D) - already repeated per beam
+    initial_tokens: jnp.ndarray,  # (B*K, sample_begin)
+    beam_size: int,
+    max_candidates: int,
+):
+    """Fixed-shape beam search with a bounded finished set.
+
+    Returns (beams (B, K, n_ctx+1), beam_scores (B, K),
+             finished_tokens (B, C, n_ctx+1), finished_scores (B, C),
+             finished_count (B,), no_speech_probs (B,)).
+    """
+    K, C = beam_size, max_candidates
+    BK = initial_tokens.shape[0]
+    B = BK // K
+    n_ctx = cfg.dims.n_text_ctx
+    eot = cfg.eot
+
+    cache, logits, no_speech_all = _prompt_pass(
+        params, cfg, audio_features, initial_tokens
+    )
+    no_speech_probs = no_speech_all[::K]
+
+    buf = jnp.full((BK, n_ctx + 1), eot, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0, 0))
+    cur_len = jnp.asarray(cfg.sample_begin, jnp.int32)
+    # Only beam 0 of each audio starts live; duplicates would dominate topk.
+    sum_logprobs = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, -jnp.inf)[None, :], (B, 1)
+    ).reshape(BK)
+    fin_toks = jnp.full((B, C, n_ctx + 1), eot, jnp.int32)
+    fin_scores = jnp.full((B, C), -jnp.inf, jnp.float32)
+    fin_count = jnp.zeros((B,), jnp.int32)
+    last, prev, max_ts = _filter_state(buf, cur_len, cfg)
+
+    def cond(state):
+        i, cur_len, fin_count = state[0], state[2], state[8]
+        return (
+            (i < cfg.sample_len)
+            & ~jnp.all(fin_count >= C)
+            & (cur_len <= cfg.dims.n_text_ctx)
+        )
+
+    def body(state):
+        (i, buf, cur_len, cache, sum_logprobs, logits, fin_toks, fin_scores,
+         fin_count, last, prev, max_ts) = state
+
+        filtered = apply_filters(cfg.filters, logits, cur_len, last, prev, max_ts)
+        logprobs = _log_softmax(filtered)  # (BK, V)
+        cand = sum_logprobs[:, None] + logprobs  # (BK, V)
+        top_lp, top_id = jax.lax.top_k(cand, K + 1)  # (BK, K+1)
+        top_lp = top_lp.reshape(B, K * (K + 1))
+        top_id = top_id.reshape(B, K * (K + 1))
+        parent = jnp.tile(
+            jnp.repeat(jnp.arange(K), K + 1)[None, :], (B, 1)
+        )  # (B, K(K+1)) source beam of each candidate
+
+        order = jnp.argsort(-top_lp, axis=-1)
+        s_lp = jnp.take_along_axis(top_lp, order, axis=-1)
+        s_id = jnp.take_along_axis(top_id, order, axis=-1)
+        s_parent = jnp.take_along_axis(parent, order, axis=-1)
+        s_eot = s_id == eot
+
+        # Reference scan semantics (decoding.py:348-360): walk candidates in
+        # score order; eot -> finished set, others -> next beams; stop once
+        # beam_size non-eot are saved.
+        noneot_excl = jnp.cumsum(~s_eot, axis=-1) - (~s_eot).astype(jnp.int32)
+        processed = noneot_excl < K
+
+        # --- select the K continuing beams ---
+        live = ~s_eot & processed
+        slot = jnp.where(live, noneot_excl, K)  # target beam slot, K = drop
+        # scatter candidates into slots 0..K-1
+        def scatter_rows(slot_row, val_row, fill):
+            out = jnp.full((K + 1,), fill, val_row.dtype)
+            out = out.at[slot_row].set(val_row)  # dropped ones hit slot K
+            return out[:K]
+
+        new_lp = jax.vmap(scatter_rows, (0, 0, None))(slot, s_lp, -jnp.inf)
+        new_id = jax.vmap(scatter_rows, (0, 0, None))(slot, s_id, eot)
+        new_parent = jax.vmap(scatter_rows, (0, 0, None))(slot, s_parent, 0)
+
+        # --- gather parent state into the new beam order ---
+        flat_src = (jnp.arange(B)[:, None] * K + new_parent).reshape(-1)  # (BK,)
+        buf = buf[flat_src]
+        new_tok = new_id.reshape(-1).astype(jnp.int32)
+        buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, new_tok)
+        # Rearrange only the self-attention cache: beams never cross audio
+        # groups and cross K/V rows are identical within a group, so gathering
+        # the (L, BK, 1500, D) cross cache would be pure wasted bandwidth.
+        cache_g = {
+            **cache,
+            "self_k": cache["self_k"][:, flat_src],
+            "self_v": cache["self_v"][:, flat_src],
+        }
+        last = last[flat_src]
+        prev = prev[flat_src]
+        max_ts = max_ts[flat_src]
+        last, prev, max_ts = _update_ts_state(
+            last, prev, max_ts, new_tok, cfg.timestamp_begin
+        )
+        sum_logprobs = new_lp.reshape(-1)
+
+        # --- append eligible finished candidates (bounded by C) ---
+        elig = s_eot & processed
+        eot_rank = jnp.cumsum(elig, axis=-1) - elig.astype(jnp.int32)
+        dest = fin_count[:, None] + eot_rank  # (B, K(K+1))
+        can_add = elig & (dest < C)
+
+        def add_finished(ft_row, fs_row, buf_rows, lp_row, dest_row, add_row,
+                         par_row):
+            # buf_rows: (K, n_ctx+1) parent buffers *before* this step's write
+            def upd(carry, inp):
+                ft, fs = carry
+                d, add, par, lp = inp
+                seq = buf_rows[par].at[cur_len].set(eot)
+                ft = jax.lax.cond(
+                    add, lambda: ft.at[d].set(seq), lambda: ft
+                )
+                fs = jax.lax.cond(add, lambda: fs.at[d].set(lp), lambda: fs)
+                return (ft, fs), None
+
+            (ft_row, fs_row), _ = jax.lax.scan(
+                upd, (ft_row, fs_row), (dest_row, add_row, par_row, lp_row)
+            )
+            return ft_row, fs_row
+
+        parent_bufs = state[1].reshape(B, K, n_ctx + 1)  # pre-gather buffers
+        fin_toks, fin_scores = jax.vmap(add_finished)(
+            fin_toks, fin_scores, parent_bufs, s_lp, dest, can_add, s_parent
+        )
+        fin_count = jnp.minimum(fin_count + jnp.sum(elig, axis=-1), C)
+
+        step_logits, cache_g = model.decoder_step(
+            params["decoder"], new_tok[:, None], cache_g, cfg.dims,
+            jnp.dtype(cfg.compute_dtype),
+        )
+        return (i + 1, buf, cur_len + 1, cache_g, sum_logprobs,
+                step_logits[:, 0], fin_toks, fin_scores, fin_count, last, prev,
+                max_ts)
+
+    state = (jnp.asarray(0, jnp.int32), buf, cur_len, cache, sum_logprobs,
+             logits, fin_toks, fin_scores, fin_count, last, prev, max_ts)
+    state = jax.lax.while_loop(cond, body, state)
+    (_, buf, cur_len, _, sum_logprobs, _, fin_toks, fin_scores, fin_count,
+     *_rest) = state
+    return (
+        buf.reshape(B, K, n_ctx + 1),
+        sum_logprobs.reshape(B, K),
+        fin_toks,
+        fin_scores,
+        fin_count,
+        no_speech_probs,
+    )

@@ -1,0 +1,175 @@
+"""Decode-path parity vs the reference: greedy + beam, token-exact.
+
+Uses a 2-layer/64-dim model with the REAL 51865-token vocab so the tokenizer,
+suppress lists, and timestamp grammar run exactly as in production; weights
+are random but shared bit-for-bit between torch and JAX, so the decoded token
+sequences must match exactly.
+"""
+
+import numpy as np
+import pytest
+
+from qasr_ijcnlp_tpu.models import ModelDimensions, WhisperModel
+from qasr_ijcnlp_tpu.models.convert import from_torch_state_dict
+
+DIMS = ModelDimensions(
+    n_mels=80,
+    n_audio_ctx=50,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=51865,
+    n_text_ctx=48,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    from . import oracle
+
+    oracle.reference_whisper()
+    import torch
+    from whisper.model import ModelDimensions as RefDims
+    from whisper.model import Whisper as RefWhisper
+
+    torch.manual_seed(7)
+    tm = RefWhisper(RefDims(**DIMS.to_dict())).eval()
+    with torch.no_grad():
+        tm.decoder.positional_embedding.normal_(0, 0.02)
+    params = from_torch_state_dict(tm.state_dict(), DIMS)
+    jm = WhisperModel(params, DIMS, name="test-small")
+    return tm, jm
+
+
+def _mel(batch=1, seed=11):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, 80, DIMS.n_audio_ctx * 2)).astype(np.float32)
+
+
+def _ref_decode(tm, mel, **kw):
+    import torch
+    from whisper.decoding import DecodingOptions as RefOptions
+    from whisper.decoding import decode as ref_decode
+
+    with torch.no_grad():
+        return ref_decode(
+            tm, torch.from_numpy(mel), RefOptions(fp16=False, language="en", **kw)
+        )
+
+
+def _our_decode(jm, mel, **kw):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+
+    return decode(jm, mel, DecodingOptions(fp16=False, language="en", **kw))
+
+
+@pytest.mark.parametrize("without_timestamps", [True, False])
+def test_greedy_token_parity(models, without_timestamps):
+    tm, jm = models
+    mel = _mel(batch=2, seed=13)
+    ref = _ref_decode(tm, mel, without_timestamps=without_timestamps)
+    ours = _our_decode(jm, mel, without_timestamps=without_timestamps)
+    for r, o in zip(ref, ours):
+        assert list(r.tokens) == list(o.tokens)
+        assert r.text == o.text
+        np.testing.assert_allclose(o.avg_logprob, r.avg_logprob, atol=2e-3)
+        np.testing.assert_allclose(o.no_speech_prob, r.no_speech_prob, atol=1e-4)
+        assert o.language == r.language
+
+
+def test_greedy_with_prompt_parity(models):
+    tm, jm = models
+    mel = _mel(seed=17)
+    kw = dict(
+        without_timestamps=True, prompt="hello there", sample_len=12
+    )
+    ref = _ref_decode(tm, mel[0], **kw)
+    ours = _our_decode(jm, mel[0], **kw)
+    assert list(ref.tokens) == list(ours.tokens)
+
+
+def test_beam_token_parity(models):
+    # NOTE: the reference can only beam-decode one audio at a time (its
+    # cross-attn kv relies on batch-1 broadcasting; n_audio>1 crashes its
+    # SDPA path).  We compare per-audio; our implementation also supports
+    # batched beam decode (see test_beam_batched_self_consistent).
+    tm, jm = models
+    mel = _mel(batch=2, seed=19)
+    kw = dict(without_timestamps=True, beam_size=3, sample_len=16)
+    for i in range(2):
+        ref = _ref_decode(tm, mel[i], **kw)
+        ours = _our_decode(jm, mel[i], **kw)
+        assert list(ref.tokens) == list(ours.tokens)
+        np.testing.assert_allclose(ours.avg_logprob, ref.avg_logprob, atol=2e-3)
+
+
+def test_beam_batched_self_consistent(models):
+    # Batched beam decode (a capability the reference lacks) must agree with
+    # per-item beam decode.
+    _, jm = models
+    mel = _mel(batch=2, seed=19)
+    kw = dict(without_timestamps=True, beam_size=3, sample_len=16)
+    batched = _our_decode(jm, mel, **kw)
+    for i in range(2):
+        single = _our_decode(jm, mel[i], **kw)
+        assert list(single.tokens) == list(batched[i].tokens)
+
+
+def test_beam_with_patience_parity(models):
+    tm, jm = models
+    mel = _mel(seed=23)
+    kw = dict(without_timestamps=True, beam_size=2, patience=2.0, sample_len=16)
+    ref = _ref_decode(tm, mel[0], **kw)
+    ours = _our_decode(jm, mel[0], **kw)
+    assert list(ref.tokens) == list(ours.tokens)
+
+
+def test_timestamp_mode_produces_valid_grammar(models):
+    _, jm = models
+    res = _our_decode(jm, _mel(seed=29)[0], sample_len=20)
+    from qasr_ijcnlp_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    ts = [t for t in res.tokens if t >= tok.timestamp_begin]
+    # Timestamps non-decreasing.
+    assert ts == sorted(ts)
+
+
+def test_detect_language_matches_reference(models):
+    tm, jm = models
+    mel = _mel(seed=31)
+    import torch
+    from whisper.decoding import detect_language as ref_dl
+
+    with torch.no_grad():
+        ref_tokens, ref_probs = ref_dl(tm, torch.from_numpy(mel))
+    from qasr_ijcnlp_tpu.decode import detect_language
+
+    our_tokens, our_probs = detect_language(jm, mel)
+    assert int(ref_tokens[0]) == int(our_tokens[0])
+    for code in ["en", "de", "ja"]:
+        np.testing.assert_allclose(
+            our_probs[0][code], ref_probs[0][code], atol=1e-4
+        )
+
+
+def test_temperature_sampling_runs(models):
+    _, jm = models
+    res = _our_decode(
+        jm, _mel(seed=37)[0], without_timestamps=True, temperature=0.8,
+        sample_len=8,
+    )
+    assert isinstance(res.text, str)
+    assert res.temperature == 0.8
+
+
+def test_best_of_sampling_runs(models):
+    _, jm = models
+    res = _our_decode(
+        jm, _mel(seed=41)[0], without_timestamps=True, temperature=1.0,
+        best_of=3, sample_len=8,
+    )
+    assert isinstance(res.text, str)
