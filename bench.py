@@ -1,0 +1,82 @@
+"""Headline benchmark: Whisper Tiny greedy-decode RTF (audio-sec/sec/chip).
+
+Protocol (identical to scripts/measure_reference_baseline.py, which runs the
+reference PyTorch implementation): batch of synthetic 30 s mel segments,
+random-init tiny weights, eot suppressed and a fixed sample_len so every row
+decodes exactly the same number of tokens - a deterministic, weights-agnostic
+measurement of the production decode path (encoder forward + jitted
+lax.while_loop token loop with kv-cache).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference implementation measured on
+this container's CPU (the reference has no TPU path; CPU/GPU is its native
+habitat - BASELINE.md notes it publishes no hardware numbers of its own).
+"""
+
+import json
+import sys
+import time
+
+# Reference PyTorch greedy-decode RTF measured on this host's CPU via
+# scripts/measure_reference_baseline.py (batch 8, 64 steps, 3 repeats,
+# 2026-08-16): 19.662 audio-sec/sec.
+REFERENCE_RTF_CPU = 19.662
+
+
+def main():
+    import numpy as np
+
+    import qasr_ijcnlp_tpu as qasr
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.models import whisper as model
+    from qasr_ijcnlp_tpu.models.dims import tiny_dims
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+    from qasr_ijcnlp_tpu.tokenizer import get_tokenizer
+
+    import jax
+    import jax.numpy as jnp
+
+    batch, steps, repeats = 8, 64, 3
+
+    dims = tiny_dims()
+    params = model.init_params(jax.random.PRNGKey(0), dims)
+    m = WhisperModel(params, dims, name="tiny (bench, random-init)")
+
+    tok = get_tokenizer(True, num_languages=99, language="en", task="transcribe")
+    opts = DecodingOptions(
+        language="en",
+        without_timestamps=True,
+        sample_len=steps,
+        suppress_tokens=[tok.eot],
+        suppress_blank=False,
+        fp16=True,
+    )
+
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, 80, 3000)), jnp.float32
+    )
+
+    decode(m, mel, opts)  # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        r = decode(m, mel, opts)
+        jax.block_until_ready(r[0].audio_features)
+    dt = time.perf_counter() - t0
+
+    audio_sec = batch * 30.0 * repeats
+    rtf = audio_sec / dt
+    vs = (rtf / REFERENCE_RTF_CPU) if REFERENCE_RTF_CPU else None
+    print(
+        json.dumps(
+            {
+                "metric": "whisper_tiny_greedy_decode_rtf",
+                "value": round(rtf, 3),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""SPMD parallelism: device meshes and named shardings for Whisper pytrees.
+
+The reference is strictly single-process / single-device (SURVEY.md §2.5; no
+torch.distributed anywhere, e.g. /root/reference/train_quantum_whisper_asr.py:299-322
+selects one `torch.device`).  This module is the TPU-native capability the
+reference lacks: a (data, model) `jax.sharding.Mesh` with
+
+* **data parallelism** — batch dims sharded along ``data``; gradients are
+  all-reduced by XLA's sharding propagation (no NCCL analog needed);
+* **tensor parallelism** — attention-head and MLP-hidden dims of every
+  transformer block sharded along ``model`` (column-parallel QKV/fc,
+  row-parallel out/proj), and the vocab embedding sharded along ``model``;
+  collectives ride ICI, inserted by GSPMD.
+
+Whisper Tiny (39 M params) does not *need* TP, but the same rules shard
+base/small/medium/large unchanged (dims table in models/dims.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    model_parallel: int = 1,
+    axis_names=(DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """A (data, model) mesh over ``devices`` (default: all local devices).
+
+    ``model_parallel`` must divide the device count; the data axis gets the
+    rest.  With ``model_parallel=1`` this is pure DP and every ``model``
+    collective is a no-op.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names)
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpec rules for the model parameter pytree (models/whisper.py layout)
+# ---------------------------------------------------------------------------
+
+# Block-local rules: path suffix -> spec for the stacked (L, ...) block params.
+# Linear weights are stored (in, out): column-parallel layers shard the output
+# dim, row-parallel layers shard the input dim, so each block needs exactly
+# one all-reduce per attention and one per MLP (the GSPMD-inserted psum after
+# the row-parallel matmul).
+_BLOCK_RULES = {
+    ("attn", "query", "w"): P(None, None, MODEL_AXIS),
+    ("attn", "query", "b"): P(None, MODEL_AXIS),
+    ("attn", "key", "w"): P(None, None, MODEL_AXIS),
+    ("attn", "value", "w"): P(None, None, MODEL_AXIS),
+    ("attn", "value", "b"): P(None, MODEL_AXIS),
+    ("attn", "out", "w"): P(None, MODEL_AXIS, None),
+    ("cross_attn", "query", "w"): P(None, None, MODEL_AXIS),
+    ("cross_attn", "query", "b"): P(None, MODEL_AXIS),
+    ("cross_attn", "key", "w"): P(None, None, MODEL_AXIS),
+    ("cross_attn", "value", "w"): P(None, None, MODEL_AXIS),
+    ("cross_attn", "value", "b"): P(None, MODEL_AXIS),
+    ("cross_attn", "out", "w"): P(None, MODEL_AXIS, None),
+    ("mlp", "fc", "w"): P(None, None, MODEL_AXIS),
+    ("mlp", "fc", "b"): P(None, MODEL_AXIS),
+    ("mlp", "proj", "w"): P(None, MODEL_AXIS, None),
+}
+
+
+def _path_keys(path) -> tuple:
+    keys = []
+    for p in path:
+        k = getattr(p, "key", None)
+        if k is None:
+            k = getattr(p, "name", None)
+        if k is None:
+            k = str(getattr(p, "idx", p))
+        keys.append(k)
+    return tuple(keys)
+
+
+def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree for a Whisper (or quantum-Whisper) param tree."""
+
+    def spec(path, leaf):
+        keys = _path_keys(path)
+        if "blocks" in keys:
+            i = keys.index("blocks")
+            rule = _BLOCK_RULES.get(keys[i + 1 :])
+            if rule is not None:
+                return rule
+            return P()
+        if keys[-2:] == ("decoder", "tok_emb") or keys[-1] == "tok_emb":
+            return P(MODEL_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def batch_spec(ndim: int) -> P:
+    """Shard the leading (batch) dim along data, replicate the rest."""
+    return P(DATA_AXIS, *([None] * (ndim - 1)))
+
+
+def shard_params(params, mesh: Mesh):
+    """Device_put the param tree with its TP/replicated shardings."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device_put array(s) with the leading dim sharded along data."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim))), batch
+    )
+
+
+def named_sharding_tree(params, mesh: Mesh):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )

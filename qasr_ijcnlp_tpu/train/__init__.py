@@ -1,0 +1,13 @@
+"""Training layer: losses, schedules, sharded optimizer steps, checkpoints."""
+
+from .loss import masked_cross_entropy, shifted_token_loss  # noqa: F401
+from .schedule import cosine, warmup_cosine  # noqa: F401
+from .step import (  # noqa: F401
+    TrainState,
+    init_state,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+    shard_state,
+    whisper_loss_fn,
+)

@@ -1,0 +1,136 @@
+"""Sharded training step: optax AdamW + grad-clip + freeze masks under jit.
+
+Functional equivalent of the reference training loops
+(/root/reference/train_classical_whisper_asr.py:178-241 — AdamW(0.9, 0.98,
+eps 1e-6), clip 1.0, per-step schedule; /root/reference/quantum_whisper.py:320-341
+— ``requires_grad`` freezing, expressed here as an ``optax.multi_transform``
+mask so frozen params get ``set_to_zero`` updates and stay bit-identical).
+
+The step is one jitted function over a (data, model) mesh: batch sharded
+along ``data``, params sharded by ``parallel.param_specs`` (TP along
+``model``).  Sharding is carried by the *placement* of the inputs —
+``shard_state``/``parallel.shard_batch`` device_put the pytrees once and jit
+propagates, so XLA inserts the gradient all-reduce (data axis) and the TP
+collectives (model axis) automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import whisper as model
+from ..models.dims import ModelDimensions
+from .. import parallel
+from .loss import shifted_token_loss
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    learning_rate,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-6,
+    clip_norm: Optional[float] = 1.0,
+    trainable_mask: Optional[Dict] = None,
+) -> optax.GradientTransformation:
+    """AdamW chained with global-norm clipping; optionally frozen params."""
+    tx = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if trainable_mask is not None:
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def init_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState on the mesh: params take the TP specs; optimizer
+    moments (same tree structure as params, nested inside the optax state)
+    take the matching param spec; scalars/schedule counters are replicated."""
+    pspecs = parallel.param_specs(state.params)
+    pdef = jax.tree.structure(state.params)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params = jax.tree.map(put, state.params, pspecs)
+
+    def place_opt(node):
+        # Any subtree shaped like the param tree (Adam mu/nu, masked wrappers)
+        # gets the param shardings; everything else is replicated.
+        try:
+            if jax.tree.structure(node) == pdef:
+                return jax.tree.map(put, node, pspecs)
+        except Exception:
+            pass
+        return jax.tree.map(lambda x: put(x, P()), node)
+
+    is_param_tree = lambda n: n is not state.opt_state and (
+        isinstance(n, dict) and jax.tree.structure(n) == pdef
+    )
+    opt_state = jax.tree.map(
+        place_opt, state.opt_state, is_leaf=is_param_tree
+    )
+    return TrainState(params, opt_state, put(state.step, P()))
+
+
+def whisper_loss_fn(dims: ModelDimensions, compute_dtype="float32") -> Callable:
+    """(params, mel, tokens) -> scalar next-token CE (ignore −100)."""
+
+    def loss_fn(params, mel, tokens):
+        inputs = jnp.maximum(tokens, 0)  # −100 pads are placeholders, masked in CE
+        logits = model.forward(params, mel, inputs, dims, jnp.dtype(compute_dtype))
+        return shifted_token_loss(logits, tokens)
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation) -> Callable:
+    """(state, *batch) -> (state, metrics) — pure; jit with donate_argnums=0."""
+
+    def train_step(state: TrainState, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+def make_sharded_train_step(
+    loss_fn: Callable, tx: optax.GradientTransformation, mesh: Mesh
+) -> Callable:
+    """Jitted train step whose inputs carry mesh shardings.
+
+    Call with a state from :func:`shard_state`; batch arrays are data-sharded
+    on entry.  The state buffers are donated so parameter/optimizer updates
+    happen in place in HBM.
+    """
+    jitted = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+
+    def run(state: TrainState, *batch):
+        batch = tuple(parallel.shard_batch(b, mesh) for b in batch)
+        return jitted(state, *batch)
+
+    return run
