@@ -410,6 +410,54 @@ def decoder_step(
     return logits, new_cache
 
 
+def decoder_apply_with_cross_qk(
+    params: Params,
+    tokens: jnp.ndarray,
+    xa: jnp.ndarray,
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced decoder forward that also returns the raw (pre-softmax,
+    4th-root-scaled) cross-attention logits of every layer.
+
+    Returns (logits (B, T, vocab) fp32, qk (L, B, H, T, Ta) fp32) - the
+    word-timing alignment input the reference captures with forward hooks
+    (model.py:94-110 qkv_attention's qk + timing.py:185-207); hooks are
+    untraceable under jit so the scan stacks the per-layer weights instead.
+    """
+    B, T = tokens.shape
+    n_head = dims.n_text_head
+    d_head = dims.n_text_state // n_head
+    scale = d_head**-0.25
+    x = params["tok_emb"][tokens] + params["pos_emb"][:T]
+    x = x.astype(compute_dtype)
+    xa = xa.astype(compute_dtype)
+    causal = jnp.where(
+        jnp.arange(T)[:, None] >= jnp.arange(T)[None, :], 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+    def block(x, bp):
+        x = x + _self_attn(bp["attn"], layer_norm(x, bp["attn_ln"]), n_head, causal)
+        xq = layer_norm(x, bp["cross_attn_ln"])
+        q = linear(xq, bp["cross_attn"]["query"])
+        k = linear(xa, bp["cross_attn"]["key"])
+        v = linear(xa, bp["cross_attn"]["value"])
+        qh = _split_heads(q, n_head) * scale
+        kh = _split_heads(k, n_head) * scale
+        vh = _split_heads(v, n_head)
+        qk = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
+        w = jax.nn.softmax(qk, axis=-1).astype(x.dtype)
+        out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh))
+        x = x + linear(out, bp["cross_attn"]["out"])
+        x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
+        return x, qk
+
+    x, qks = jax.lax.scan(block, x, params["blocks"])
+    x = layer_norm(x, params["ln"])
+    logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
+    return logits, qks
+
+
 # ---------------------------------------------------------------------------
 # Whole-model conveniences
 # ---------------------------------------------------------------------------

@@ -1,0 +1,438 @@
+"""Long-form transcription: 30 s sliding windows over the mel spectrogram.
+
+Host-side orchestration over the jitted decode loop, with the reference's
+quality machinery (/root/reference/whisper/whisper/transcribe.py:38-514):
+
+* temperature-fallback ladder gated by compression-ratio / avg-logprob /
+  no-speech thresholds (transcribe.py:184-224);
+* timestamp-token segmentation and seek advance (transcribe.py:339-399);
+* prompt conditioning on previous text with reset-on-high-temperature
+  (transcribe.py:288-293, 503-505);
+* optional word timestamps + hallucination-silence skipping
+  (transcribe.py:401-476);
+* clip_timestamps sub-ranges.
+
+The structure is a ``_Session`` object with one method per concern instead of
+the reference's single 250-line loop body; per-window compute (encode +
+decode) runs as the same fixed-shape jitted program for every window, so
+there is exactly one XLA compilation regardless of audio length.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import (
+    FRAMES_PER_SECOND,
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from ..decode import DecodingOptions, DecodingResult
+from ..align import add_word_timestamps
+from ..tokenizer import LANGUAGES, get_tokenizer
+from ..utils import exact_div, format_timestamp, get_end, make_safe
+
+_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+
+
+def _word_anomaly_score(word: dict) -> float:
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def _is_segment_anomaly(segment: Optional[dict]) -> bool:
+    if segment is None or not segment["words"]:
+        return False
+    words = [w for w in segment["words"] if w["word"] not in _PUNCTUATION][:8]
+    score = sum(_word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def _next_words_segment(segments: List[dict]) -> Optional[dict]:
+    return next((s for s in segments if s["words"]), None)
+
+
+class _Session:
+    """State for one transcription run (prompt history, seek, segments)."""
+
+    def __init__(self, model, tokenizer, options: dict, temperatures, thresholds):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.options = options
+        self.temperatures = temperatures
+        (
+            self.compression_ratio_threshold,
+            self.logprob_threshold,
+            self.no_speech_threshold,
+        ) = thresholds
+        self.all_tokens: List[int] = []
+        self.all_segments: List[dict] = []
+        self.prompt_reset_since = 0
+        self.last_speech_timestamp = 0.0
+        self.seek = 0
+        self.input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)  # 2
+        self.time_precision = self.input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02
+
+    # -- decode with the temperature ladder ---------------------------------
+
+    def decode_window(self, mel_segment) -> DecodingResult:
+        result = None
+        for t in self.temperatures:
+            kwargs = dict(self.options)
+            if t > 0:
+                kwargs.pop("beam_size", None)
+                kwargs.pop("patience", None)
+            else:
+                kwargs.pop("best_of", None)
+            result = self.model.decode(
+                mel_segment, DecodingOptions(**kwargs, temperature=t)
+            )
+            if self._acceptable(result):
+                break
+        return result
+
+    def _acceptable(self, result: DecodingResult) -> bool:
+        failed = False
+        if (
+            self.compression_ratio_threshold is not None
+            and result.compression_ratio > self.compression_ratio_threshold
+        ):
+            failed = True  # degenerate repetition
+        if (
+            self.logprob_threshold is not None
+            and result.avg_logprob < self.logprob_threshold
+        ):
+            failed = True  # low confidence
+        if (
+            self.no_speech_threshold is not None
+            and result.no_speech_prob > self.no_speech_threshold
+            and self.logprob_threshold is not None
+            and result.avg_logprob < self.logprob_threshold
+        ):
+            failed = False  # silence: accept and let the caller skip
+        return not failed
+
+    # -- segmentation by timestamp tokens ------------------------------------
+
+    def segment_window(
+        self, result: DecodingResult, time_offset: float, segment_size: int
+    ) -> Tuple[List[dict], int, bool]:
+        """Split the decoded tokens into segments; returns (segments,
+        seek_advance_frames, single_timestamp_ending)."""
+        tokens = np.asarray(result.tokens)
+        ts_begin = self.tokenizer.timestamp_begin
+        is_ts = tokens >= ts_begin
+        single_ts_ending = len(tokens) >= 2 and bool(
+            not is_ts[-2] and is_ts[-1]
+        )
+
+        segments: List[dict] = []
+        consecutive = np.where(is_ts[:-1] & is_ts[1:])[0] + 1
+        if len(consecutive) > 0:
+            slices = consecutive.tolist()
+            if single_ts_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for current_slice in slices:
+                sliced = tokens[last_slice:current_slice]
+                start_pos = int(sliced[0]) - ts_begin
+                end_pos = int(sliced[-1]) - ts_begin
+                segments.append(
+                    self._new_segment(
+                        time_offset + start_pos * self.time_precision,
+                        time_offset + end_pos * self.time_precision,
+                        sliced,
+                        result,
+                    )
+                )
+                last_slice = current_slice
+            if single_ts_ending:
+                advance = segment_size
+            else:
+                last_ts_pos = int(tokens[last_slice - 1]) - ts_begin
+                advance = last_ts_pos * self.input_stride
+        else:
+            duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+            timestamps = tokens[is_ts]
+            if len(timestamps) > 0 and int(timestamps[-1]) != ts_begin:
+                duration = (int(timestamps[-1]) - ts_begin) * self.time_precision
+            segments.append(
+                self._new_segment(
+                    time_offset, time_offset + duration, tokens, result
+                )
+            )
+            advance = segment_size
+        return segments, advance, single_ts_ending
+
+    def _new_segment(self, start, end, tokens, result: DecodingResult) -> dict:
+        tokens = [int(t) for t in tokens]
+        text_tokens = [t for t in tokens if t < self.tokenizer.eot]
+        return {
+            "seek": self.seek,
+            "start": start,
+            "end": end,
+            "text": self.tokenizer.decode(text_tokens),
+            "tokens": tokens,
+            "temperature": result.temperature,
+            "avg_logprob": result.avg_logprob,
+            "compression_ratio": result.compression_ratio,
+            "no_speech_prob": result.no_speech_prob,
+        }
+
+    # -- bookkeeping ----------------------------------------------------------
+
+    def commit(self, segments: List[dict], condition_on_previous_text: bool,
+               temperature: float):
+        for i, segment in enumerate(segments):
+            if segment["start"] == segment["end"] or segment["text"].strip() == "":
+                segment["text"] = ""
+                segment["tokens"] = []
+                segment["words"] = []
+        self.all_segments.extend(
+            {"id": i, **seg}
+            for i, seg in enumerate(segments, start=len(self.all_segments))
+        )
+        self.all_tokens.extend(t for seg in segments for t in seg["tokens"])
+        if not condition_on_previous_text or temperature > 0.5:
+            self.prompt_reset_since = len(self.all_tokens)
+
+
+def transcribe(
+    model,
+    audio: Union[str, np.ndarray],
+    *,
+    verbose: Optional[bool] = None,
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    initial_prompt: Optional[str] = None,
+    carry_initial_prompt: bool = False,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    clip_timestamps: Union[str, List[float]] = "0",
+    hallucination_silence_threshold: Optional[float] = None,
+    **decode_options,
+) -> dict:
+    """Transcribe audio of any length (reference transcribe.py:38-514).
+
+    Returns {"text", "segments", "language"}.
+    """
+    # 30 s of zero padding on the right so the last window is full-size.
+    mel = np.asarray(
+        log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+    )
+    content_frames = mel.shape[-1] - N_FRAMES
+    content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
+
+    if decode_options.get("language") is None:
+        if not model.is_multilingual:
+            decode_options["language"] = "en"
+        else:
+            if verbose:
+                print(
+                    "Detecting language using up to the first 30 seconds. "
+                    "Use `language` to specify the language"
+                )
+            segment = pad_or_trim(jnp.asarray(mel), N_FRAMES)
+            _, probs = model.detect_language(segment)
+            decode_options["language"] = max(probs, key=probs.get)
+            if verbose is not None:
+                print(
+                    f"Detected language: "
+                    f"{LANGUAGES[decode_options['language']].title()}"
+                )
+
+    language = decode_options["language"]
+    task = decode_options.get("task", "transcribe")
+    tokenizer = get_tokenizer(
+        model.is_multilingual,
+        num_languages=model.num_languages,
+        language=language,
+        task=task,
+    )
+
+    if word_timestamps and task == "translate":
+        warnings.warn("Word-level timestamps on translations may not be reliable.")
+
+    if isinstance(clip_timestamps, str):
+        clip_timestamps = [
+            float(ts) for ts in (clip_timestamps.split(",") if clip_timestamps else [])
+        ]
+    seek_points = [round(ts * FRAMES_PER_SECOND) for ts in clip_timestamps] or [0]
+    if len(seek_points) % 2 == 1:
+        seek_points.append(content_frames)
+    seek_clips = list(zip(seek_points[::2], seek_points[1::2]))
+
+    temperatures = (
+        [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+    )
+    session = _Session(
+        model,
+        tokenizer,
+        decode_options,
+        temperatures,
+        (compression_ratio_threshold, logprob_threshold, no_speech_threshold),
+    )
+
+    remaining_prompt_length = model.dims.n_text_ctx // 2 - 1
+    if initial_prompt is not None:
+        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        session.all_tokens.extend(initial_prompt_tokens)
+        remaining_prompt_length -= len(initial_prompt_tokens)
+    else:
+        initial_prompt_tokens = []
+
+    for clip_start, clip_end in seek_clips:
+        session.seek = max(session.seek, clip_start)
+        while session.seek < min(clip_end, content_frames):
+            seek = session.seek
+            time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
+            window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
+            segment_size = min(N_FRAMES, content_frames - seek, clip_end - seek)
+            segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+            mel_segment = pad_or_trim(
+                jnp.asarray(mel[:, seek : seek + segment_size]), N_FRAMES
+            )
+
+            if carry_initial_prompt:
+                nignored = max(len(initial_prompt_tokens), session.prompt_reset_since)
+                remaining = session.all_tokens[nignored:][-remaining_prompt_length:]
+                decode_options["prompt"] = initial_prompt_tokens + remaining
+            else:
+                decode_options["prompt"] = session.all_tokens[
+                    session.prompt_reset_since :
+                ]
+
+            result = session.decode_window(mel_segment)
+
+            if no_speech_threshold is not None:
+                should_skip = result.no_speech_prob > no_speech_threshold
+                if (
+                    logprob_threshold is not None
+                    and result.avg_logprob > logprob_threshold
+                ):
+                    should_skip = False
+                if should_skip:
+                    session.seek += segment_size
+                    continue
+
+            previous_seek = seek
+            current_segments, advance, single_ts_ending = session.segment_window(
+                result, time_offset, segment_size
+            )
+            session.seek += advance
+
+            if word_timestamps:
+                add_word_timestamps(
+                    segments=current_segments,
+                    model_obj=model,
+                    tokenizer=tokenizer,
+                    mel=mel_segment,
+                    num_frames=segment_size,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
+                    last_speech_timestamp=session.last_speech_timestamp,
+                )
+                if not single_ts_ending:
+                    last_word_end = get_end(current_segments)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        session.seek = round(last_word_end * FRAMES_PER_SECOND)
+
+                if hallucination_silence_threshold is not None:
+                    threshold = hallucination_silence_threshold
+                    if not single_ts_ending:
+                        last_word_end = get_end(current_segments)
+                        if last_word_end is not None and last_word_end > time_offset:
+                            remaining_duration = window_end_time - last_word_end
+                            if remaining_duration > threshold:
+                                session.seek = round(
+                                    last_word_end * FRAMES_PER_SECOND
+                                )
+                            else:
+                                session.seek = previous_seek + segment_size
+
+                    first_segment = _next_words_segment(current_segments)
+                    if first_segment is not None and _is_segment_anomaly(
+                        first_segment
+                    ):
+                        gap = first_segment["start"] - time_offset
+                        if gap > threshold:
+                            session.seek = previous_seek + round(
+                                gap * FRAMES_PER_SECOND
+                            )
+                            continue
+
+                    # skip hallucinations surrounded by silence
+                    hal_last_end = session.last_speech_timestamp
+                    for si, segment in enumerate(current_segments):
+                        if not segment["words"]:
+                            continue
+                        if _is_segment_anomaly(segment):
+                            next_segment = _next_words_segment(
+                                current_segments[si + 1 :]
+                            )
+                            if next_segment is not None:
+                                hal_next_start = next_segment["words"][0]["start"]
+                            else:
+                                hal_next_start = time_offset + segment_duration
+                            silence_before = (
+                                segment["start"] - hal_last_end > threshold
+                                or segment["start"] < threshold
+                                or segment["start"] - time_offset < 2.0
+                            )
+                            silence_after = (
+                                hal_next_start - segment["end"] > threshold
+                                or _is_segment_anomaly(next_segment)
+                                or window_end_time - segment["end"] < 2.0
+                            )
+                            if silence_before and silence_after:
+                                session.seek = round(
+                                    max(time_offset + 1, segment["start"])
+                                    * FRAMES_PER_SECOND
+                                )
+                                if content_duration - segment["end"] < threshold:
+                                    session.seek = content_frames
+                                current_segments[si:] = []
+                                break
+                        hal_last_end = segment["end"]
+
+                last_word_end = get_end(current_segments)
+                if last_word_end is not None:
+                    session.last_speech_timestamp = last_word_end
+
+            if verbose:
+                for segment in current_segments:
+                    line = (
+                        f"[{format_timestamp(segment['start'])} --> "
+                        f"{format_timestamp(segment['end'])}] {segment['text']}"
+                    )
+                    print(make_safe(line))
+
+            session.commit(
+                current_segments, condition_on_previous_text, result.temperature
+            )
+
+    return dict(
+        text=tokenizer.decode(session.all_tokens[len(initial_prompt_tokens) :]),
+        segments=session.all_segments,
+        language=language,
+    )

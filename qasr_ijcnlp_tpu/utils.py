@@ -54,6 +54,22 @@ def str2bool(string: str) -> bool:
     raise ValueError(f"Expected one of {set(str2val.keys())}, got {string}")
 
 
+def get_start(segments):
+    """Earliest word start, falling back to the first segment start."""
+    return next(
+        (w["start"] for s in segments for w in s.get("words", [])),
+        segments[0]["start"] if segments else None,
+    )
+
+
+def get_end(segments):
+    """Latest word end, falling back to the last segment end."""
+    return next(
+        (w["end"] for s in reversed(segments) for w in reversed(s.get("words", []))),
+        segments[-1]["end"] if segments else None,
+    )
+
+
 def optional_int(string):
     return None if string == "None" else int(string)
 

@@ -1,0 +1,173 @@
+"""Long-form transcription tests: writer parity (exact, host logic) and
+end-to-end pipeline smoke on synthetic audio with a random tiny model."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from tests.oracle import reference_whisper
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return reference_whisper()
+
+
+def _fake_result(with_words=True):
+    words1 = [
+        {"word": " Hello", "start": 0.0, "end": 0.4, "probability": 0.9},
+        {"word": " world,", "start": 0.4, "end": 0.8, "probability": 0.8},
+        {"word": " this", "start": 1.2, "end": 1.5, "probability": 0.95},
+        {"word": " is", "start": 1.5, "end": 1.6, "probability": 0.97},
+        {"word": " a", "start": 1.6, "end": 1.65, "probability": 0.99},
+        {"word": " test.", "start": 1.65, "end": 2.2, "probability": 0.85},
+    ]
+    words2 = [
+        {"word": " Second", "start": 6.0, "end": 6.5, "probability": 0.9},
+        {"word": " segment", "start": 6.5, "end": 7.1, "probability": 0.92},
+        {"word": " here.", "start": 7.1, "end": 7.4, "probability": 0.88},
+    ]
+    segments = [
+        {
+            "id": 0, "seek": 0, "start": 0.0, "end": 2.2,
+            "text": " Hello world, this is a test.",
+            "tokens": [1, 2, 3], "temperature": 0.0, "avg_logprob": -0.3,
+            "compression_ratio": 1.2, "no_speech_prob": 0.01,
+        },
+        {
+            "id": 1, "seek": 0, "start": 6.0, "end": 7.4,
+            "text": " Second segment here.",
+            "tokens": [4, 5], "temperature": 0.0, "avg_logprob": -0.25,
+            "compression_ratio": 1.1, "no_speech_prob": 0.02,
+        },
+    ]
+    if with_words:
+        segments[0]["words"] = words1
+        segments[1]["words"] = words2
+    return {"text": "Hello world, this is a test. Second segment here.",
+            "segments": segments, "language": "en"}
+
+
+WRITER_OPTS = [
+    {},
+    {"highlight_words": True},
+    {"max_line_width": 12, "max_line_count": 2},
+    {"max_words_per_line": 2},
+    {"max_line_width": 10, "max_line_count": 1, "highlight_words": True},
+]
+
+
+@pytest.mark.parametrize("fmt", ["txt", "vtt", "srt", "tsv", "json"])
+@pytest.mark.parametrize("opts_idx", range(len(WRITER_OPTS)))
+@pytest.mark.parametrize("with_words", [True, False])
+def test_writer_parity(ref, tmp_path, fmt, opts_idx, with_words):
+    from whisper.utils import get_writer as ref_get_writer
+
+    from qasr_ijcnlp_tpu.transcribe.writers import get_writer
+
+    opts = WRITER_OPTS[opts_idx]
+    result = _fake_result(with_words)
+
+    ours_buf, ref_buf = io.StringIO(), io.StringIO()
+    get_writer(fmt, str(tmp_path)).write_result(
+        json.loads(json.dumps(result)), file=ours_buf, **opts
+    )
+    ref_get_writer(fmt, str(tmp_path)).write_result(
+        json.loads(json.dumps(result)), file=ref_buf, **opts
+    )
+    assert ours_buf.getvalue() == ref_buf.getvalue()
+
+
+def test_writer_files(tmp_path):
+    from qasr_ijcnlp_tpu.transcribe.writers import get_writer
+
+    writer = get_writer("all", str(tmp_path))
+    writer(_fake_result(), "some/dir/audio.wav")
+    for ext in ["txt", "vtt", "srt", "tsv", "json"]:
+        assert (tmp_path / f"audio.{ext}").exists()
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax
+
+    from qasr_ijcnlp_tpu.models import whisper as jmodel
+    from qasr_ijcnlp_tpu.models.dims import tiny_dims
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+
+    dims = tiny_dims()
+    params = jmodel.init_params(jax.random.PRNGKey(0), dims)
+    m = WhisperModel(params, dims, name="tiny-random")
+    m.alignment_heads = m.default_alignment_heads()
+    return m
+
+
+def _synthetic_speechish_audio(seconds, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    audio = 0.1 * np.sin(2 * np.pi * f0 * t)
+    audio += 0.02 * rng.standard_normal(len(t))
+    return audio.astype(np.float32)
+
+
+def test_transcribe_structure(tiny_model):
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    result = transcribe(
+        tiny_model,
+        _synthetic_speechish_audio(4.0),
+        language="en",
+        temperature=0.0,
+        sample_len=12,
+        no_speech_threshold=None,  # random model: accept whatever comes out
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert set(result) == {"text", "segments", "language"}
+    assert result["language"] == "en"
+    for seg in result["segments"]:
+        assert seg["end"] >= seg["start"] >= 0
+        assert isinstance(seg["text"], str)
+        assert all(isinstance(t, int) for t in seg["tokens"])
+
+
+def test_transcribe_word_timestamps_smoke(tiny_model):
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    result = transcribe(
+        tiny_model,
+        _synthetic_speechish_audio(3.0, seed=1),
+        language="en",
+        temperature=0.0,
+        sample_len=10,
+        word_timestamps=True,
+        no_speech_threshold=None,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    for seg in result["segments"]:
+        assert "words" in seg
+        for w in seg["words"]:
+            assert w["end"] >= w["start"]
+            assert 0.0 <= w["probability"] <= 1.0
+
+
+def test_transcribe_clip_timestamps(tiny_model):
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    result = transcribe(
+        tiny_model,
+        _synthetic_speechish_audio(6.0, seed=2),
+        language="en",
+        temperature=0.0,
+        sample_len=8,
+        clip_timestamps="1.0,3.0",
+        no_speech_threshold=None,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    for seg in result["segments"]:
+        assert seg["start"] >= 0.9
