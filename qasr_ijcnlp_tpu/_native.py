@@ -1,0 +1,119 @@
+"""ctypes loader for the C++ native runtime (native/*.cpp).
+
+Compiles ``libqasr_native.so`` with the system g++ on first use (cached under
+the package build dir, keyed by source hash) and exposes thin Python handles.
+Everything degrades gracefully: callers treat a ``None`` handle as "use the
+pure-Python path" and the two paths are tested for exact agreement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+_SOURCES = ["bpe.cpp"]
+
+
+def _source_hash() -> str:
+    h = hashlib.sha1()
+    for src in _SOURCES:
+        with open(os.path.join(_NATIVE_DIR, src), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _build() -> Optional[str]:
+    tag = _source_hash()
+    so_path = os.path.join(_BUILD_DIR, f"libqasr_native_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    srcs = [os.path.join(_NATIVE_DIR, s) for s in _SOURCES]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", so_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return so_path
+    except Exception:
+        return None
+
+
+_LIB = "unset"
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB == "unset":
+        path = _build()
+        if path is None:
+            _LIB = None
+        else:
+            lib = ctypes.CDLL(path)
+            lib.qasr_bpe_create.restype = ctypes.c_void_p
+            lib.qasr_bpe_create.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+            ]
+            lib.qasr_bpe_destroy.argtypes = [ctypes.c_void_p]
+            lib.qasr_bpe_merge.restype = ctypes.c_int32
+            lib.qasr_bpe_merge.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            _LIB = lib
+    return _LIB
+
+
+class _BPEHandle:
+    """Per-rank-table native BPE state, keyed by the table's identity."""
+
+    def __init__(self):
+        self._tables: Dict[int, ctypes.c_void_p] = {}
+        self._out = (ctypes.c_int32 * 4096)()
+
+    def _table_for(self, ranks: Dict[bytes, int]) -> Optional[ctypes.c_void_p]:
+        key = id(ranks)
+        handle = self._tables.get(key)
+        if handle is None:
+            lib = _lib()
+            if lib is None:
+                return None
+            items = list(ranks.items())
+            blob = b"".join(k for k, _ in items)
+            offsets = (ctypes.c_int64 * (len(items) + 1))()
+            pos = 0
+            for i, (k, _) in enumerate(items):
+                offsets[i] = pos
+                pos += len(k)
+            offsets[len(items)] = pos
+            vals = (ctypes.c_int32 * len(items))(*[v for _, v in items])
+            handle = ctypes.c_void_p(
+                lib.qasr_bpe_create(blob, offsets, vals, len(items))
+            )
+            self._tables[key] = handle
+        return handle
+
+    def merge(self, piece: bytes, ranks: Dict[bytes, int]) -> List[int]:
+        lib = _lib()
+        table = self._table_for(ranks)
+        n = lib.qasr_bpe_merge(table, piece, len(piece), self._out, 4096)
+        if n < 0:  # capacity/unknown-byte edge: pure-Python fallback
+            from .tokenizer.bpe import _bpe_merge_py
+
+            return _bpe_merge_py(piece, ranks)
+        return list(self._out[:n])
+
+
+def bpe_handle() -> _BPEHandle:
+    if _lib() is None:
+        raise RuntimeError("native library unavailable (g++ build failed)")
+    return _BPEHandle()

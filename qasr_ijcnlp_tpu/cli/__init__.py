@@ -1,0 +1,39 @@
+"""Reference-compatible CLI entry points.
+
+One module per reference script, same flags
+(SURVEY.md §1 L4); run as ``python -m qasr_ijcnlp_tpu.cli.<name>``.  Thin
+same-named wrappers at the repo root keep drop-in compatibility with the
+reference invocation style.
+"""
+
+from __future__ import annotations
+
+
+def resolve_device(spec: str = "auto") -> str:
+    """Map the reference's --device auto/cpu/cuda to a JAX platform and
+    report it.  'cuda' selects the accelerator backend if present."""
+    import jax
+
+    backend = jax.default_backend()
+    if spec in ("auto", "cuda", "tpu", None):
+        return backend
+    if spec == "cpu" and backend != "cpu":
+        # Respect an explicit CPU request.
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    return backend
+
+
+def load_model_with_fallback(name: str, compute_dtype: str = "float32"):
+    """Official checkpoint if downloadable/cached, else random init with a
+    loud warning (the reference's 3-tier loader, quantum_whisper.py:182-204)."""
+    from ..models.registry import load_model
+
+    model = load_model(name, compute_dtype=compute_dtype, init_if_missing=True)
+    if "random-init" in model.name:
+        print(
+            f"WARNING: could not fetch official '{name}' weights "
+            "(offline?); using random initialization - metrics will be "
+            "meaningless, but the pipeline is exercised end-to-end."
+        )
+    return model

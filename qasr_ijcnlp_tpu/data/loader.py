@@ -1,0 +1,96 @@
+"""Batching + host→device prefetch pipeline.
+
+The reference keeps the TPU... GPU fed with torch DataLoader workers
+(/root/reference/train_classical_whisper_asr.py:411-429).  The TPU-native
+equivalent is a double-buffered device prefetcher: a background thread
+stages the next batch's host arrays and `jax.device_put`s them while the
+current step runs, so the accelerator never waits on mel extraction.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    """Minimal epoch iterator yielding tuples of stacked numpy arrays."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 8,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            items = [self.dataset[int(i)] for i in idx]
+            yield tuple(
+                np.stack([item[f] for item in items]) for f in range(len(items[0]))
+            )
+
+
+def prefetch_to_device(iterator, size: int = 2, device=None):
+    """Stage ``size`` batches ahead on a background thread, moving each to
+    the device as soon as it is produced."""
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                staged = jax.tree.map(
+                    lambda x: jax.device_put(x, device), batch
+                )
+                q.put(staged)
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+def pad_batch_to(batch: Sequence[np.ndarray], batch_size: int):
+    """Right-pad a short final batch to the fixed compile-time batch size,
+    returning (padded_batch, real_count) — keeps shapes static under jit."""
+    real = len(batch[0])
+    if real == batch_size:
+        return tuple(batch), real
+    padded = []
+    for arr in batch:
+        pad = np.repeat(arr[-1:], batch_size - real, axis=0)
+        padded.append(np.concatenate([arr, pad], axis=0))
+    return tuple(padded), real

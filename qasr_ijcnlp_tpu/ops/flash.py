@@ -1,0 +1,100 @@
+"""Fused blocked attention Pallas kernel for the audio encoder.
+
+Replaces torch SDPA (/root/reference/whisper/whisper/model.py:17-22,123-127)
+on the TPU compute path.  The encoder's sequence is a fixed 1500 frames, so a
+single-level blocking is the right shape: each grid step owns one (BQ, Dh)
+query tile, streams the full K/V for its (batch, head) row through VMEM, and
+fuses  QK^T -> masked softmax -> PV  in one kernel - the (T, T) logits matrix
+never exists in HBM.  (A multi-block streaming-softmax "true flash" is
+unnecessary at T=1500: K/V for one head is ~0.8 MB, far under VMEM.)
+
+Inputs arrive pre-scaled by d_head^-0.25 on both q and k (the reference's
+4th-root convention, model.py:118), so the kernel applies no extra scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128  # query tile (sublane-aligned)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+    q = q_ref[0].astype(jnp.float32)  # (BQ, Dh)
+    k = k_ref[0].astype(jnp.float32)  # (Tp, Dh)
+    v = v_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Tp)
+    if t_real != k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < t_real, logits, -jnp.inf)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        p, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / s
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused attention: q/k/v (B, H, T, Dh), no mask -> (B, H, T, Dh).
+
+    Compiles the Mosaic kernel on TPU; elsewhere runs the same kernel in
+    interpreter mode (numerics testing) - enable only on TPU for speed.
+    """
+    return _flash_attention(q, k, v, jax.default_backend() != "tpu")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    B, H, T, Dh = q.shape
+    Tk = k.shape[2]
+    Tp = _round_up(T, BQ)
+    Tkp = _round_up(Tk, BQ)
+
+    def prep(x, L):
+        x = x.reshape(B * H, x.shape[2], Dh)
+        pad = L - x.shape[1]
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q, Tp), prep(k, Tkp), prep(v, Tkp)
+    grid = (B * H, Tp // BQ)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, t_real=Tk),
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, Dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BQ, Dh), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tkp, Dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tkp, Dh), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, Dh), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :T].reshape(B, H, T, Dh)

@@ -1,0 +1,144 @@
+"""Checkpointing: orbax pytree checkpoints + JSON history + best-k tracking.
+
+The reference saves ``state_dict`` .pth files per tracked metric — dual
+best-CER/WER (/root/reference/train_quantum_whisper_asr.py:245-265), triple
+best-acc/loss/WER (train_quantum_whisper.py:279-296), best+optimizer-state+
+periodic epochs (train_classical_whisper_asr.py:500-525) — plus
+``*_training_history.json`` files (utils.py:358-366).  This module provides
+the same strategies over orbax, adds the resume path the reference never
+wired (SURVEY.md §5 "No resume flag"), and can export the Whisper trunk back
+to the official ``.pt`` format via models.convert for interop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+
+def _np_tree(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any, metadata: Optional[dict] = None) -> None:
+    """Save a pytree checkpoint (orbax if available, npz fallback)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), _np_tree(tree), force=True)
+    except Exception:
+        import pickle
+
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(_np_tree(tree), f)
+    if metadata is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+
+
+def load_pytree(path: str, target: Optional[Any] = None) -> Any:
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+    except Exception:
+        import pickle
+
+        with open(path + ".pkl", "rb") as f:
+            restored = pickle.load(f)
+    if target is not None:
+        import jax
+
+        restored = jax.tree.map(
+            lambda t, r: np.asarray(r).astype(np.asarray(t).dtype), target, restored
+        )
+    return restored
+
+
+def load_metadata(path: str) -> Optional[dict]:
+    meta = path + ".meta.json"
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)
+    return None
+
+
+@dataclass
+class BestTracker:
+    """Keeps the best checkpoint per metric (lower- or higher-is-better)."""
+
+    directory: str
+    metrics: Dict[str, str]  # name -> "min" | "max"
+    best: Dict[str, float] = field(default_factory=dict)
+
+    def update(self, values: Dict[str, float], tree: Any,
+               metadata: Optional[dict] = None) -> Dict[str, bool]:
+        """Check each tracked metric; save ``best_<metric>`` on improvement."""
+        improved = {}
+        for name, mode in self.metrics.items():
+            if name not in values:
+                continue
+            v = float(values[name])
+            cur = self.best.get(name)
+            better = cur is None or (v < cur if mode == "min" else v > cur)
+            improved[name] = better
+            if better:
+                self.best[name] = v
+                save_pytree(
+                    os.path.join(self.directory, f"best_{name}"),
+                    tree,
+                    {**(metadata or {}), "metric": name, "value": v},
+                )
+        return improved
+
+
+class TrainingHistory:
+    """Per-epoch metric log with JSON persistence (reference
+    ``save_training_history``, utils.py:358-366)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.epochs: list = []
+        self.config: dict = {}
+
+    def log(self, **metrics) -> dict:
+        entry = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+                 for k, v in metrics.items()}
+        self.epochs.append(entry)
+        if self.path:
+            self.save(self.path)
+        return entry
+
+    def to_dict(self) -> dict:
+        return {"config": self.config, "epochs": self.epochs}
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "TrainingHistory":
+        h = cls(path)
+        with open(path) as f:
+            data = json.load(f)
+        h.config = data.get("config", {})
+        h.epochs = data.get("epochs", [])
+        return h
+
+
+def save_whisper_pt(path: str, params, dims) -> None:
+    """Export the Whisper trunk in the official checkpoint format so the
+    PyTorch reference can load it (models/convert.save_torch_checkpoint)."""
+    from ..models.convert import save_torch_checkpoint
+
+    save_torch_checkpoint(path, params, dims)

@@ -1,0 +1,382 @@
+"""Epoch-driven trainers for the three task families.
+
+Functional equivalents of the reference trainers, with their checkpoint
+strategies and history files, minus their defects (SURVEY.md §2.4):
+
+* char-level ASR (quantum or classical encoder + MLP/LSTM char decoder) —
+  /root/reference/train_quantum_whisper_asr.py:130-267.  Validation CER/WER
+  is computed from REAL greedy decoding (the reference scored placeholder
+  strings, :217-218).
+* classification (Speech Commands / LibriSpeech-as-classification) —
+  /root/reference/train_quantum_whisper.py:171-300, with the triple
+  best-acc/loss/WER checkpointing; the "WER over stringified class ids"
+  metric is reproduced deliberately (:131-144).
+* token-level Whisper ASR — /root/reference/train_classical_whisper_asr.py:
+  178-321 with AdamW(0.9,0.98,1e-6) + warmup-cosine and best-WER checkpoints.
+
+Each trainer jits ONE step function (batch shapes static via pad_batch_to)
+and streams batches through the device prefetcher.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import metrics as qmetrics
+from ..data import CharVocabulary, END, PAD, START
+from ..data.loader import DataLoader, pad_batch_to, prefetch_to_device
+from ..models import asr as asr_model
+from ..models import classifier as clf_model
+from ..models import whisper as cmodel
+from ..models.quantum import quantum_encoder_apply
+from .checkpoint import BestTracker, TrainingHistory
+from .loss import masked_cross_entropy
+from .step import TrainState, init_state, make_train_step
+
+
+def encoder_fn_for(model_obj) -> Callable:
+    """(params_enc, mel) -> (B, Ta, D) for classical or quantum encoders."""
+    dims = model_obj.dims
+    quantum = "qconv1" in model_obj.params["encoder"]
+
+    def apply(enc_params, mel):
+        if quantum:
+            return quantum_encoder_apply(enc_params, mel, dims)
+        return cmodel.encoder_apply(enc_params, mel, dims)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Char-level ASR
+# ---------------------------------------------------------------------------
+
+
+def char_asr_loss_fn(encoder_apply: Callable, head_kind: str) -> Callable:
+    """(params {encoder, head}, mel, char_ids) -> CE over next-char targets,
+    ignoring <PAD> (the reference's CE(ignore_index=0), :164-171 — with the
+    output/target rows correctly aligned)."""
+
+    def loss(params, mel, char_ids):
+        enc = encoder_apply(params["encoder"], mel)
+        if head_kind == "lstm":
+            logits = asr_model.lstm_teacher_forced(params["head"], enc, char_ids)
+        else:
+            logits = asr_model.mlp_head_char_logits(params["head"], enc, char_ids)
+        targets = char_ids[:, 1:]
+        return masked_cross_entropy(logits, targets, ignore_index=PAD)
+
+    return loss
+
+
+def evaluate_char_asr(
+    params,
+    encoder_apply: Callable,
+    head_kind: str,
+    loader: DataLoader,
+    vocab: CharVocabulary,
+    max_len: int = 100,
+) -> Dict[str, float]:
+    """Greedy-decode validation with real CER/WER."""
+    preds, refs, losses = [], [], []
+    loss_fn = char_asr_loss_fn(encoder_apply, head_kind)
+    jloss = jax.jit(loss_fn)
+
+    @jax.jit
+    def embed(params, mel):
+        return encoder_apply(params["encoder"], mel)
+
+    for batch in loader:
+        (mel, char_ids), real = pad_batch_to(batch, loader.batch_size)
+        losses.append(float(jloss(params, mel, char_ids)))
+        enc = embed(params, mel)
+        if head_kind == "lstm":
+            out, _ = asr_model.lstm_greedy_decode(
+                params["head"], enc, START, END, max_len
+            )
+            out = np.asarray(out)
+        else:
+            # Teacher-forced argmax (the only decode the MLP head supports:
+            # it has no autoregressive path in the reference either).
+            logits = asr_model.mlp_head_char_logits(params["head"], enc, char_ids)
+            out = np.asarray(jnp.argmax(logits, axis=-1))
+        for b in range(real):
+            preds.append(vocab.decode(out[b]))
+            refs.append(vocab.decode(np.asarray(char_ids[b][1:])))
+    return {
+        "loss": float(np.mean(losses)) if losses else 0.0,
+        "cer": qmetrics.calculate_cer(preds, refs),
+        "wer": qmetrics.calculate_wer(preds, refs),
+    }
+
+
+def train_char_asr(
+    params: Dict,
+    encoder_apply: Callable,
+    train_loader: DataLoader,
+    val_loader: Optional[DataLoader],
+    vocab: CharVocabulary,
+    *,
+    head_kind: str = "lstm",
+    epochs: int = 10,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    trainable_mask: Optional[Dict] = None,
+    checkpoint_dir: str = "checkpoints/char_asr",
+    history_path: Optional[str] = None,
+    log: Callable = print,
+) -> Dict:
+    """AdamW + cosine, grad-clip 1.0, dual best-CER/WER checkpoints."""
+    from .schedule import cosine
+    from .step import make_optimizer
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(
+        cosine(learning_rate, epochs * steps_per_epoch),
+        weight_decay=weight_decay,
+        trainable_mask=trainable_mask,
+    )
+    state = init_state(params, tx)
+    step = jax.jit(make_train_step(char_asr_loss_fn(encoder_apply, head_kind), tx),
+                   donate_argnums=(0,))
+
+    tracker = BestTracker(checkpoint_dir, {"cer": "min", "wer": "min"})
+    history = TrainingHistory(history_path)
+    history.config = {
+        "head": head_kind, "epochs": epochs, "lr": learning_rate,
+        "num_chars": vocab.num_chars,
+    }
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch in prefetch_to_device(iter(train_loader)):
+            (mel, char_ids), _ = pad_batch_to(batch, train_loader.batch_size)
+            state, m = step(state, mel, char_ids)
+            train_losses.append(float(m["loss"]))
+        entry = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            "time_s": time.time() - t0,
+        }
+        if val_loader is not None:
+            val = evaluate_char_asr(
+                state.params, encoder_apply, head_kind, val_loader, vocab
+            )
+            entry.update({f"val_{k}": v for k, v in val.items()})
+            tracker.update(
+                {"cer": val["cer"], "wer": val["wer"]},
+                state.params,
+                {"epoch": epoch, "char_vocab": vocab.to_json()},
+            )
+        history.log(**entry)
+        log(f"epoch {epoch}: " + "  ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in entry.items()))
+    return {"params": state.params, "history": history, "tracker": tracker}
+
+
+# ---------------------------------------------------------------------------
+# Classification
+# ---------------------------------------------------------------------------
+
+
+def classifier_loss_fn(encoder_apply: Callable) -> Callable:
+    def loss(params, mel, labels):
+        enc = encoder_apply(params["encoder"], mel)
+        logits = clf_model.classifier_apply(params["head"], enc)
+        return jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        )
+
+    return loss
+
+
+def evaluate_classifier(
+    params, encoder_apply: Callable, loader: DataLoader
+) -> Dict[str, float]:
+    @jax.jit
+    def infer(params, mel):
+        enc = encoder_apply(params["encoder"], mel)
+        return clf_model.classifier_apply(params["head"], enc)
+
+    correct = total = 0
+    losses, pred_ids, true_ids = [], [], []
+    for batch in loader:
+        (mel, labels), real = pad_batch_to(batch, loader.batch_size)
+        logits = np.asarray(infer(params, mel))
+        pred = logits.argmax(-1)
+        labels = np.asarray(labels)
+        losses.append(
+            float(
+                np.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        jnp.asarray(logits[:real]), jnp.asarray(labels[:real])
+                    )
+                )
+            )
+        )
+        correct += int((pred[:real] == labels[:real]).sum())
+        total += real
+        pred_ids.extend(str(p) for p in pred[:real])
+        true_ids.extend(str(t) for t in labels[:real])
+    # "WER" over stringified class ids - the reference's quirky metric
+    # (train_quantum_whisper.py:131-144), kept for checkpoint parity.
+    wer = qmetrics.calculate_wer(pred_ids, true_ids)
+    return {
+        "loss": float(np.mean(losses)) if losses else 0.0,
+        "accuracy": correct / max(total, 1),
+        "wer": wer,
+    }
+
+
+def train_classifier(
+    params: Dict,
+    encoder_apply: Callable,
+    train_loader: DataLoader,
+    val_loader: Optional[DataLoader],
+    *,
+    epochs: int = 10,
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    trainable_mask: Optional[Dict] = None,
+    checkpoint_dir: str = "checkpoints/classifier",
+    history_path: Optional[str] = None,
+    log: Callable = print,
+) -> Dict:
+    """AdamW + cosine; triple best-acc/loss/WER checkpoints
+    (train_quantum_whisper.py:279-296)."""
+    from .schedule import cosine
+    from .step import make_optimizer
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(
+        cosine(learning_rate, epochs * steps_per_epoch),
+        weight_decay=weight_decay,
+        trainable_mask=trainable_mask,
+    )
+    state = init_state(params, tx)
+    step = jax.jit(make_train_step(classifier_loss_fn(encoder_apply), tx),
+                   donate_argnums=(0,))
+
+    tracker = BestTracker(
+        checkpoint_dir, {"accuracy": "max", "loss": "min", "wer": "min"}
+    )
+    history = TrainingHistory(history_path)
+    history.config = {"epochs": epochs, "lr": learning_rate}
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch in prefetch_to_device(iter(train_loader)):
+            (mel, labels), _ = pad_batch_to(batch, train_loader.batch_size)
+            state, m = step(state, mel, labels)
+            train_losses.append(float(m["loss"]))
+        entry = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            "time_s": time.time() - t0,
+        }
+        if val_loader is not None:
+            val = evaluate_classifier(state.params, encoder_apply, val_loader)
+            entry.update({f"val_{k}": v for k, v in val.items()})
+            tracker.update(val, state.params, {"epoch": epoch})
+        history.log(**entry)
+        log(f"epoch {epoch}: " + "  ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in entry.items()))
+    return {"params": state.params, "history": history, "tracker": tracker}
+
+
+# ---------------------------------------------------------------------------
+# Token-level Whisper ASR
+# ---------------------------------------------------------------------------
+
+
+def train_token_asr(
+    params: Dict,
+    dims,
+    tokenizer,
+    train_loader: DataLoader,
+    val_loader: Optional[DataLoader],
+    *,
+    epochs: int = 10,
+    learning_rate: float = 1e-4,
+    warmup_steps: int = 500,
+    weight_decay: float = 0.01,
+    checkpoint_dir: str = "checkpoints/token_asr",
+    history_path: Optional[str] = None,
+    compute_dtype: str = "float32",
+    log: Callable = print,
+) -> Dict:
+    """Classical token-level training (train_classical_whisper_asr.py:323-608):
+    AdamW(0.9, 0.98, eps 1e-6) + linear-warmup-cosine, best-WER checkpoint."""
+    from .schedule import warmup_cosine
+    from .step import make_optimizer, whisper_loss_fn
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(
+        warmup_cosine(learning_rate, warmup_steps, epochs * steps_per_epoch),
+        weight_decay=weight_decay,
+    )
+    state = init_state(params, tx)
+    loss_fn = whisper_loss_fn(dims, compute_dtype)
+    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    jloss = jax.jit(loss_fn)
+
+    @jax.jit
+    def tf_logits(params, mel, tokens):
+        return cmodel.forward(params, mel, jnp.maximum(tokens, 0), dims)
+
+    tracker = BestTracker(checkpoint_dir, {"wer": "min"})
+    history = TrainingHistory(history_path)
+    history.config = {"epochs": epochs, "lr": learning_rate, "warmup": warmup_steps}
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch in prefetch_to_device(iter(train_loader)):
+            (mel, tokens), _ = pad_batch_to(batch, train_loader.batch_size)
+            state, m = step(state, mel, tokens)
+            train_losses.append(float(m["loss"]))
+        entry = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            "time_s": time.time() - t0,
+        }
+        if val_loader is not None:
+            preds, refs, vlosses = [], [], []
+            for batch in val_loader:
+                (mel, tokens), real = pad_batch_to(batch, val_loader.batch_size)
+                vlosses.append(float(jloss(state.params, mel, tokens)))
+                # Teacher-forced argmax decode, like the reference's
+                # validation (:284-296; optimistic but cheap - documented).
+                out = np.asarray(jnp.argmax(tf_logits(state.params, mel, tokens),
+                                            axis=-1))
+                tok_np = np.asarray(tokens)
+                for b in range(real):
+                    valid = tok_np[b] != -100
+                    ref_ids = [t for t in tok_np[b][valid].tolist()
+                               if t < tokenizer.eot]
+                    hyp_rows = out[b][:-1][valid[1:]]
+                    hyp_ids = [t for t in hyp_rows.tolist() if t < tokenizer.eot]
+                    refs.append(tokenizer.decode(ref_ids))
+                    preds.append(tokenizer.decode(hyp_ids))
+            entry.update(
+                val_loss=float(np.mean(vlosses)) if vlosses else 0.0,
+                val_wer=qmetrics.calculate_wer(preds, refs),
+                val_cer=qmetrics.calculate_cer(preds, refs),
+            )
+            tracker.update({"wer": entry["val_wer"]}, state.params, {"epoch": epoch})
+        history.log(**entry)
+        log(f"epoch {epoch}: " + "  ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in entry.items()))
+    return {"params": state.params, "history": history, "tracker": tracker}

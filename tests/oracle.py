@@ -55,6 +55,31 @@ def install_stubs():
         numba = types.ModuleType("numba")
         numba.jit = lambda *a, **k: (lambda f: f)
         sys.modules["numba"] = numba
+    # jiwer/editdistance aren't installed; back the reference's metric calls
+    # with OUR implementations - doubling as a drop-in equivalence check.
+    if "jiwer" not in sys.modules:
+        from qasr_ijcnlp_tpu import metrics as _m
+
+        jiwer = types.ModuleType("jiwer")
+        jiwer.wer = lambda refs, hyps: _m.wer_corpus(
+            refs if isinstance(refs, list) else [refs],
+            hyps if isinstance(hyps, list) else [hyps],
+        )
+        sys.modules["jiwer"] = jiwer
+    if "editdistance" not in sys.modules:
+        from qasr_ijcnlp_tpu import metrics as _m
+
+        ed = types.ModuleType("editdistance")
+        ed.eval = lambda a, b: _m.levenshtein(a, b)
+        sys.modules["editdistance"] = ed
+
+
+def reference_root():
+    """Put /root/reference itself on sys.path (root-level scripts/utils)."""
+    install_stubs()
+    for p in ("/root/reference", _REF_WHISPER_PATH):
+        if p not in sys.path:
+            sys.path.insert(0, p)
 
 
 def reference_whisper():
