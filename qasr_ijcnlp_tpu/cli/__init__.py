@@ -10,18 +10,18 @@ from __future__ import annotations
 
 
 def resolve_device(spec: str = "auto") -> str:
-    """Map the reference's --device auto/cpu/cuda to a JAX platform and
-    report it.  'cuda' selects the accelerator backend if present."""
+    """Map the reference's --device auto/cpu/cuda to a JAX platform.
+
+    The platform override MUST be applied before the first backend query -
+    ``jax.default_backend()`` initializes the platform stack and later
+    ``jax_platforms`` updates are ignored.
+    """
     import jax
 
-    backend = jax.default_backend()
-    if spec in ("auto", "cuda", "tpu", None):
-        return backend
-    if spec == "cpu" and backend != "cpu":
-        # Respect an explicit CPU request.
+    if spec == "cpu":
         jax.config.update("jax_platforms", "cpu")
         return "cpu"
-    return backend
+    return jax.default_backend()
 
 
 def load_model_with_fallback(name: str, compute_dtype: str = "float32"):

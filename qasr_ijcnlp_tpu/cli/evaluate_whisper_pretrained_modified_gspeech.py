@@ -14,7 +14,12 @@ from collections import Counter, defaultdict
 import jax
 import numpy as np
 
-from ..data import ClassificationView, SPEECH_COMMANDS_LABELS, load_speech_commands
+from ..data import (
+    ClassificationView,
+    SPEECH_COMMANDS_LABELS,
+    load_librispeech,
+    load_speech_commands,
+)
 from ..data.loader import DataLoader, pad_batch_to
 from ..models import classifier as clf_model
 from ..reporting import save_results_json
@@ -41,7 +46,31 @@ def main(argv=None):
     resolve_device(args.device)
 
     model = load_model_with_fallback(args.model_size)
-    num_classes = len(SPEECH_COMMANDS_LABELS)
+    if args.dataset == "google":
+        base = load_speech_commands("test", args.max_samples or 32)
+        num_classes = len(SPEECH_COMMANDS_LABELS)
+        label_names = SPEECH_COMMANDS_LABELS
+    else:
+        # LibriSpeech-as-classification: whole transcript = class label
+        # (reference train_quantum_whisper.py:79-129 convention).
+        libri = load_librispeech("test", args.max_samples or 32)
+        texts = sorted({libri[i][1] for i in range(len(libri))})
+        label_of = {t: i for i, t in enumerate(texts)}
+
+        class _View:
+            is_synthetic = getattr(libri, "is_synthetic", False)
+
+            def __len__(self):
+                return len(libri)
+
+            def __getitem__(self, i):
+                audio, text = libri[i]
+                return audio, label_of[text]
+
+        base = _View()
+        num_classes = len(texts)
+        label_names = [t[:20] for t in texts]
+
     head = clf_model.init_classifier_head(
         jax.random.PRNGKey(0), model.dims.n_audio_state, num_classes
     )
@@ -50,8 +79,6 @@ def main(argv=None):
         from ..train.checkpoint import load_pytree
 
         params = load_pytree(args.classifier_path, target=params)
-
-    base = load_speech_commands("test", args.max_samples or 32)
     loader = DataLoader(ClassificationView(base), args.batch_size, shuffle=False)
     encoder_apply = encoder_fn_for(model)
 
@@ -86,7 +113,7 @@ def main(argv=None):
     class_acc = {}
     for cid in sorted(per_class):
         hit, n = per_class[cid]
-        name = SPEECH_COMMANDS_LABELS[cid] if cid < num_classes else str(cid)
+        name = label_names[cid] if cid < len(label_names) else str(cid)
         class_acc[name] = hit / max(n, 1)
         print(f"  {name:<10} {hit}/{n}  ({100.0 * hit / max(n, 1):.1f}%)")
     if getattr(base, "is_synthetic", False):

@@ -71,8 +71,14 @@ def _compute_dtype(fp16: bool) -> str:
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
-def _encode_mel(params, mel, dims, compute_dtype):
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "quantum"))
+def _encode_mel(params, mel, dims, compute_dtype, quantum=False):
+    if quantum:
+        from ..models.quantum import quantum_encoder_apply
+
+        return quantum_encoder_apply(
+            params["encoder"], mel, dims, jnp.dtype(compute_dtype)
+        )
     return model.encoder_apply(
         params["encoder"], mel, dims, jnp.dtype(compute_dtype)
     )
@@ -82,7 +88,10 @@ def _audio_features(model_obj, mel: jnp.ndarray, fp16: bool) -> jnp.ndarray:
     dims = model_obj.dims
     if mel.shape[-2:] == (dims.n_audio_ctx, dims.n_audio_state):
         return mel  # already encoded
-    return _encode_mel(model_obj.params, mel, dims, _compute_dtype(fp16))
+    quantum = "qconv1" in model_obj.params["encoder"]
+    return _encode_mel(
+        model_obj.params, mel, dims, _compute_dtype(fp16), quantum
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "mask_key"))

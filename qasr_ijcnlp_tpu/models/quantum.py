@@ -124,6 +124,16 @@ def quantum_encoder_apply(
     return cmodel.layer_norm(x, params["ln_post"])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_quantum_encoder(dims: ModelDimensions, dtype: str):
+    return jax.jit(
+        lambda enc, mel: quantum_encoder_apply(enc, mel, dims, jnp.dtype(dtype))
+    )
+
+
 @dataclass
 class QuantumWhisperModel(WhisperModel):
     """WhisperModel whose encoder stem is quantum (drop-in for decode/eval)."""
@@ -131,8 +141,8 @@ class QuantumWhisperModel(WhisperModel):
     n_qubits: int = 4
 
     def embed_audio(self, mel):
-        return quantum_encoder_apply(
-            self.params["encoder"], mel, self.dims, self._dtype
+        return _jitted_quantum_encoder(self.dims, str(self.compute_dtype))(
+            self.params["encoder"], mel
         )
 
     def forward(self, mel, tokens):

@@ -9,6 +9,7 @@ instead of an nn.Module.
 from __future__ import annotations
 
 import base64
+import functools
 import gzip
 import hashlib
 import os
@@ -60,6 +61,28 @@ _ALIGNMENT_HEADS = {
 }
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_encoder(dims: ModelDimensions, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda enc, mel: _model.encoder_apply(enc, mel, dims, jnp.dtype(dtype))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_decoder(dims: ModelDimensions, dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda dec, tokens, xa: _model.decoder_apply(
+            dec, tokens, xa, dims, jnp.dtype(dtype)
+        )
+    )
+
+
 @dataclass
 class WhisperModel:
     """A loaded model: parameter pytree + dims + metadata.
@@ -83,13 +106,13 @@ class WhisperModel:
         return _model.num_languages(self.dims)
 
     def embed_audio(self, mel):
-        return _model.encoder_apply(
-            self.params["encoder"], mel, self.dims, self._dtype
+        return _jitted_encoder(self.dims, str(self.compute_dtype))(
+            self.params["encoder"], mel
         )
 
     def logits(self, tokens, audio_features):
-        return _model.decoder_apply(
-            self.params["decoder"], tokens, audio_features, self.dims, self._dtype
+        return _jitted_decoder(self.dims, str(self.compute_dtype))(
+            self.params["decoder"], tokens, audio_features
         )
 
     def forward(self, mel, tokens):

@@ -354,6 +354,7 @@ def decoder_step(
     B, T_new = tokens.shape
     n_head = dims.n_text_head
     Tmax = dims.n_text_ctx
+    L = dims.n_text_layer
     offset = cache["idx"]
 
     pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], offset, T_new, axis=0)
@@ -367,44 +368,45 @@ def decoder_step(
         jnp.float32
     )
 
-    def block(carry, layer_in):
-        x = carry
-        bp, self_k, self_v, cross_k, cross_v = layer_in
+    # The layer loop is statically unrolled (not lax.scan): scanning over the
+    # stacked (L, B, T, D) cache would slice and RE-STACK the whole cache
+    # every call - ~4 full-cache copies per decoded token, which dominates
+    # the step at small batch.  With an unrolled loop each layer issues one
+    # 4-D dynamic_update_slice into the carried buffer, which XLA keeps
+    # in-place across while_loop iterations.
+    self_k, self_v = cache["self_k"], cache["self_v"]
+    zero = jnp.zeros((), jnp.int32)
+    for l in range(L):
+        bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
         xn = layer_norm(x, bp["attn_ln"])
         q = linear(xn, bp["attn"]["query"])
         k_new = linear(xn, bp["attn"]["key"])
         v_new = linear(xn, bp["attn"]["value"])
-        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_new, offset, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_new, offset, axis=1)
+        l_idx = jnp.asarray(l, jnp.int32)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_new[None], (l_idx, zero, offset, zero)
+        )
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_new[None], (l_idx, zero, offset, zero)
+        )
         x = x + linear(
-            attention(q, self_k, self_v, n_head, mask), bp["attn"]["out"]
+            attention(q, self_k[l], self_v[l], n_head, mask), bp["attn"]["out"]
         )
 
         xq = layer_norm(x, bp["cross_attn_ln"])
         qc = linear(xq, bp["cross_attn"]["query"])
         x = x + linear(
-            attention(qc, cross_k, cross_v, n_head), bp["cross_attn"]["out"]
+            attention(qc, cache["cross_k"][l], cache["cross_v"][l], n_head),
+            bp["cross_attn"]["out"],
         )
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
-        return x, (self_k, self_v)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        block,
-        x,
-        (
-            params["blocks"],
-            cache["self_k"],
-            cache["self_v"],
-            cache["cross_k"],
-            cache["cross_v"],
-        ),
-    )
     x = layer_norm(x, params["ln"])
     logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
     new_cache = {
         **cache,
-        "self_k": new_k,
-        "self_v": new_v,
+        "self_k": self_k,
+        "self_v": self_v,
         "idx": offset + T_new,
     }
     return logits, new_cache
