@@ -26,6 +26,10 @@ REFERENCE_RTF_CPU = 19.662
 def main():
     import numpy as np
 
+    from qasr_ijcnlp_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import qasr_ijcnlp_tpu as qasr
     from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
     from qasr_ijcnlp_tpu.models import whisper as model

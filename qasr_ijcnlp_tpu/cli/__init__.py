@@ -9,6 +9,24 @@ reference invocation style.
 from __future__ import annotations
 
 
+def enable_compilation_cache() -> None:
+    """Persist XLA binaries across processes (first TPU compile through the
+    tunnel takes minutes; cached reloads take seconds)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "QASR_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "qasr_xla_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob
+
+
 def resolve_device(spec: str = "auto") -> str:
     """Map the reference's --device auto/cpu/cuda to a JAX platform.
 
@@ -18,6 +36,7 @@ def resolve_device(spec: str = "auto") -> str:
     """
     import jax
 
+    enable_compilation_cache()
     if spec == "cpu":
         jax.config.update("jax_platforms", "cpu")
         return "cpu"

@@ -51,6 +51,13 @@ class DecodingOptions:
     # On TPU "fp16" selects bfloat16 (the native half precision); fp32 off it.
     fp16: bool = True
 
+    # Trim conditioning prompts to a multiple of this many tokens so the
+    # jitted decode loop sees a bounded set of shape signatures (each
+    # distinct prompt length is a fresh XLA compile).  Dropping the OLDEST
+    # prompt tokens only shortens context; set None for exact reference
+    # behavior.
+    prompt_bucket: Optional[int] = 64
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -238,13 +245,14 @@ class DecodingTask:
             prompt_tokens = (
                 self.tokenizer.encode(" " + prompt.strip())
                 if isinstance(prompt, str)
-                else prompt
+                else list(prompt)
             )
-            tokens = (
-                [self.tokenizer.sot_prev]
-                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
-                + tokens
-            )
+            prompt_tokens = prompt_tokens[-(self.n_ctx // 2 - 1) :]
+            if bucket := self.options.prompt_bucket:
+                keep = (len(prompt_tokens) // bucket) * bucket
+                prompt_tokens = prompt_tokens[-keep:] if keep else []
+            if prompt_tokens:
+                tokens = [self.tokenizer.sot_prev] + prompt_tokens + tokens
         return tuple(tokens)
 
     def _get_suppress_tokens(self) -> Tuple[int, ...]:
@@ -313,15 +321,18 @@ class DecodingTask:
         if opts.task == "lang_id":
             return [
                 DecodingResult(
-                    audio_features=np.asarray(audio_features[i]),
+                    audio_features=audio_features[i],  # device array; convert lazily
                     language=languages[i],
                     language_probs=language_probs[i],
                 )
                 for i in range(n_audio)
             ]
 
-        init_rep = np.repeat(init, self.n_group, axis=0)
-        xa_rep = jnp.repeat(audio_features, self.n_group, axis=0)
+        if self.n_group == 1:
+            init_rep, xa_rep = init, audio_features
+        else:
+            init_rep = np.repeat(init, self.n_group, axis=0)
+            xa_rep = jnp.repeat(audio_features, self.n_group, axis=0)
 
         if opts.beam_size is not None:
             out = self._run_beam(xa_rep, init_rep)
@@ -349,7 +360,7 @@ class DecodingTask:
 
         return [
             DecodingResult(
-                audio_features=np.asarray(audio_features[i]),
+                audio_features=audio_features[i],  # device array; convert lazily
                 language=languages[i],
                 tokens=tokens[i],
                 text=texts[i],
