@@ -18,8 +18,9 @@ import sys
 import time
 
 # Reference PyTorch greedy-decode RTF measured on this host's CPU via
-# scripts/measure_reference_baseline.py (batch 8, 64 steps, 3 repeats,
-# 2026-08-16): 19.662 audio-sec/sec.
+# scripts/measure_reference_baseline.py (2026-08-16).  Best-batch figures:
+# batch 8 -> 19.662 audio-sec/sec (its best); batch 64 -> 8.845 (degrades).
+# vs_baseline compares each stack at its own throughput-optimal batch.
 REFERENCE_RTF_CPU = 19.662
 
 
@@ -40,7 +41,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch, steps, repeats = 8, 64, 3
+    batch, steps, repeats = 64, 64, 3  # batch from scripts/bench_decode_batch.py
 
     dims = tiny_dims()
     params = model.init_params(jax.random.PRNGKey(0), dims)

@@ -264,6 +264,12 @@ def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
     return (log_spec + 4.0) / 4.0
 
 
+def preprocess_audio_for_whisper(audio, n_mels: int = 80):
+    """Raw waveform -> model-ready (n_mels, 3000) mel (reference
+    utils.py:121-139: pad/trim to 30 s then log-mel)."""
+    return log_mel_spectrogram(pad_or_trim(np.asarray(audio, np.float32)), n_mels)
+
+
 def log_mel_spectrogram(
     audio: Union[str, np.ndarray, jnp.ndarray],
     n_mels: int = 80,

@@ -11,11 +11,18 @@ from __future__ import annotations
 
 def enable_compilation_cache() -> None:
     """Persist XLA binaries across processes (first TPU compile through the
-    tunnel takes minutes; cached reloads take seconds)."""
+    tunnel takes minutes; cached reloads take seconds).
+
+    TPU-only: XLA:CPU persists AOT machine code whose target features may
+    not match a later host (observed loading +prefer-no-scatter binaries ->
+    replica divergence and collective rendezvous deadlocks).
+    """
     import os
 
     import jax
 
+    if jax.default_backend() != "tpu":
+        return
     cache_dir = os.environ.get(
         "QASR_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "qasr_xla_cache"),
@@ -36,10 +43,10 @@ def resolve_device(spec: str = "auto") -> str:
     """
     import jax
 
-    enable_compilation_cache()
     if spec == "cpu":
         jax.config.update("jax_platforms", "cpu")
         return "cpu"
+    enable_compilation_cache()
     return jax.default_backend()
 
 

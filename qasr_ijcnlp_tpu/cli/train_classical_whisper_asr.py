@@ -35,6 +35,13 @@ def build_parser():
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_tokens", type=int, default=448)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/classical_asr")
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="Enable SPMD over all devices with this TP degree "
+                        "(0 = single-device). Note: on virtual CPU meshes, "
+                        "full-size models exceed XLA:CPU's 40s collective "
+                        "rendezvous timeout - use real accelerator meshes "
+                        "(tiny-shape CPU-mesh validation lives in "
+                        "tests/test_parallel.py and __graft_entry__.py)")
     return p
 
 
@@ -68,6 +75,12 @@ def main(argv=None):
 
     print_training_header(f"classical whisper {args.model_size} (token-level)",
                           args.epochs, args.lr, args.batch_size)
+    mesh = None
+    if args.model_parallel:
+        from .. import parallel
+
+        mesh = parallel.make_mesh(model_parallel=args.model_parallel)
+        print(f"SPMD mesh: {mesh.devices.shape} (data, model)")
     steps_per_epoch = max(len(train_loader), 1)
     out = train_token_asr(
         params,
@@ -80,6 +93,7 @@ def main(argv=None):
         warmup_steps=args.warmup_epochs * steps_per_epoch,
         checkpoint_dir=args.checkpoint_dir,
         history_path="classical_whisper_asr_training_history.json",
+        mesh=mesh,
     )
     print("Training complete. Best:", out["tracker"].best)
     return out

@@ -436,6 +436,25 @@ class DecodingTask:
         return tokens_lists, logprob_lists, no_speech
 
 
+# DecodingTask construction builds vocab-size filter masks on the host;
+# reuse tasks across calls with identical (model, options).  Options with
+# list-valued prompt/prefix are unhashable - those build fresh.
+_TASK_CACHE: Dict = {}
+
+
+def _get_task(model_obj, options: DecodingOptions) -> "DecodingTask":
+    try:
+        key = (id(model_obj), options)
+        task = _TASK_CACHE.get(key)
+        if task is None:
+            task = DecodingTask(model_obj, options)
+            if len(_TASK_CACHE) < 64:
+                _TASK_CACHE[key] = task
+        return task
+    except TypeError:
+        return DecodingTask(model_obj, options)
+
+
 def decode(
     model_obj,
     mel,
@@ -448,5 +467,5 @@ def decode(
         mel = mel[None]
     if kwargs:
         options = replace(options, **kwargs)
-    result = DecodingTask(model_obj, options).run(mel)
+    result = _get_task(model_obj, options).run(mel)
     return result[0] if single else result

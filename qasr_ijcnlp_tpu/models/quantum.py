@@ -192,6 +192,12 @@ def create_quantum_whisper_from_model(
     )
 
 
+# Reference API alias (quantum_whisper.py:260-287): "from_official" copies
+# every matching pretrained weight; the conv stems have no quantum-shaped
+# match, so the effective behavior equals create_quantum_whisper_from_model.
+create_quantum_whisper_from_official = create_quantum_whisper_from_model
+
+
 def create_quantum_whisper_tiny(
     n_qubits: int = 4, compute_dtype: str = "float32"
 ) -> QuantumWhisperModel:

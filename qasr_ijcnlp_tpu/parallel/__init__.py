@@ -87,8 +87,26 @@ def _path_keys(path) -> tuple:
     return tuple(keys)
 
 
-def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree for a Whisper (or quantum-Whisper) param tree."""
+def param_specs(
+    params: Dict[str, Any], mesh: Optional[Mesh] = None
+) -> Dict[str, Any]:
+    """PartitionSpec pytree for a Whisper (or quantum-Whisper) param tree.
+
+    With ``mesh`` given, any sharded dim whose size is not divisible by its
+    mesh-axis extent is demoted to replicated (e.g. the 51865-token vocab
+    embedding under model-parallel 2) - sharding must never change results
+    or refuse a model.
+    """
+
+    def fit(spec: P, shape) -> P:
+        if mesh is None:
+            return spec
+        fixed = []
+        for dim, axis in enumerate(spec):
+            if axis is not None and shape[dim] % mesh.shape[axis] != 0:
+                axis = None
+            fixed.append(axis)
+        return P(*fixed)
 
     def spec(path, leaf):
         keys = _path_keys(path)
@@ -96,10 +114,10 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             i = keys.index("blocks")
             rule = _BLOCK_RULES.get(keys[i + 1 :])
             if rule is not None:
-                return rule
+                return fit(rule, leaf.shape)
             return P()
         if keys[-2:] == ("decoder", "tok_emb") or keys[-1] == "tok_emb":
-            return P(MODEL_AXIS, None)
+            return fit(P(MODEL_AXIS, None), leaf.shape)
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, params)
@@ -112,7 +130,7 @@ def batch_spec(ndim: int) -> P:
 
 def shard_params(params, mesh: Mesh):
     """Device_put the param tree with its TP/replicated shardings."""
-    specs = param_specs(params)
+    specs = param_specs(params, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
@@ -127,6 +145,6 @@ def shard_batch(batch, mesh: Mesh):
 
 def named_sharding_tree(params, mesh: Mesh):
     return jax.tree.map(
-        lambda s: NamedSharding(mesh, s), param_specs(params),
+        lambda s: NamedSharding(mesh, s), param_specs(params, mesh),
         is_leaf=lambda x: isinstance(x, P),
     )

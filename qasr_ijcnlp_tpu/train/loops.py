@@ -314,12 +314,21 @@ def train_token_asr(
     checkpoint_dir: str = "checkpoints/token_asr",
     history_path: Optional[str] = None,
     compute_dtype: str = "float32",
+    mesh=None,
     log: Callable = print,
 ) -> Dict:
     """Classical token-level training (train_classical_whisper_asr.py:323-608):
-    AdamW(0.9, 0.98, eps 1e-6) + linear-warmup-cosine, best-WER checkpoint."""
+    AdamW(0.9, 0.98, eps 1e-6) + linear-warmup-cosine, best-WER checkpoint.
+
+    Pass a ``jax.sharding.Mesh`` to train SPMD: params/optimizer sharded by
+    parallel.param_specs (TP on the 'model' axis), batches on 'data'."""
     from .schedule import warmup_cosine
-    from .step import make_optimizer, whisper_loss_fn
+    from .step import (
+        make_optimizer,
+        make_sharded_train_step,
+        shard_state,
+        whisper_loss_fn,
+    )
 
     steps_per_epoch = max(len(train_loader), 1)
     tx = make_optimizer(
@@ -328,7 +337,11 @@ def train_token_asr(
     )
     state = init_state(params, tx)
     loss_fn = whisper_loss_fn(dims, compute_dtype)
-    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        step = make_sharded_train_step(loss_fn, tx, mesh)
+    else:
+        step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
     jloss = jax.jit(loss_fn)
 
     @jax.jit

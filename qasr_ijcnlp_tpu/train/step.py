@@ -64,7 +64,7 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState on the mesh: params take the TP specs; optimizer
     moments (same tree structure as params, nested inside the optax state)
     take the matching param spec; scalars/schedule counters are replicated."""
-    pspecs = parallel.param_specs(state.params)
+    pspecs = parallel.param_specs(state.params, mesh)
     pdef = jax.tree.structure(state.params)
 
     def put(x, spec):
