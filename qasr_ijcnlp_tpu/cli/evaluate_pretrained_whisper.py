@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard the eval batch across all devices (the batch "
+                        "size must divide the device count's data axis)")
     return p
 
 
@@ -68,12 +71,24 @@ def main(argv=None):
         _MelView(base, model.dims.n_mels), args.batch_size, shuffle=False
     )
 
+    mesh = None
+    if args.data_parallel:
+        from .. import parallel
+
+        mesh = parallel.make_mesh(model_parallel=1)
+        model.params = parallel.shard_params(model.params, mesh)
+        print(f"Data-parallel eval over {mesh.devices.size} devices")
+
     options = DecodingOptions(language="en", without_timestamps=True)
     hypotheses = [None] * len(base)
     audio_seconds = len(base) * 30.0
     t0 = time.time()
     for batch in loader:
         (mel, idx), real = pad_batch_to(batch, args.batch_size)
+        if mesh is not None:
+            from .. import parallel
+
+            mel = parallel.shard_batch(jax.numpy.asarray(mel), mesh)
         results = model.decode(mel, options)
         for b in range(real):
             hypotheses[int(idx[b])] = results[b].text

@@ -60,7 +60,8 @@ def build_config(
     blank_mask = None
     if suppress_blank:
         m = np.zeros(n_vocab, np.uint8)
-        m[tokenizer.encode(" ") + [tokenizer.eot]] = 1
+        ids = [t for t in tokenizer.encode(" ") + [tokenizer.eot] if t < n_vocab]
+        m[ids] = 1
         blank_mask = m.tobytes()
     return FilterConfig(
         n_vocab=n_vocab,

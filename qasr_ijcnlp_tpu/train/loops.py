@@ -76,6 +76,16 @@ def char_asr_loss_fn(encoder_apply: Callable, head_kind: str) -> Callable:
     return loss
 
 
+def _cached_jit(cache: dict, key, builder):
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = jax.jit(builder())
+    return fn
+
+
+_EVAL_JITS: Dict = {}
+
+
 def evaluate_char_asr(
     params,
     encoder_apply: Callable,
@@ -86,12 +96,16 @@ def evaluate_char_asr(
 ) -> Dict[str, float]:
     """Greedy-decode validation with real CER/WER."""
     preds, refs, losses = [], [], []
-    loss_fn = char_asr_loss_fn(encoder_apply, head_kind)
-    jloss = jax.jit(loss_fn)
-
-    @jax.jit
-    def embed(params, mel):
-        return encoder_apply(params["encoder"], mel)
+    # jit wrappers cached per (encoder, head) so per-epoch validation reuses
+    # the compiled programs instead of rebuilding closures each call.
+    jloss = _cached_jit(
+        _EVAL_JITS, ("char_loss", encoder_apply, head_kind),
+        lambda: char_asr_loss_fn(encoder_apply, head_kind),
+    )
+    embed = _cached_jit(
+        _EVAL_JITS, ("embed", encoder_apply),
+        lambda: (lambda params, mel: encoder_apply(params["encoder"], mel)),
+    )
 
     for batch in loader:
         (mel, char_ids), real = pad_batch_to(batch, loader.batch_size)
@@ -202,10 +216,14 @@ def classifier_loss_fn(encoder_apply: Callable) -> Callable:
 def evaluate_classifier(
     params, encoder_apply: Callable, loader: DataLoader
 ) -> Dict[str, float]:
-    @jax.jit
-    def infer(params, mel):
-        enc = encoder_apply(params["encoder"], mel)
-        return clf_model.classifier_apply(params["head"], enc)
+    def _build():
+        def infer(params, mel):
+            enc = encoder_apply(params["encoder"], mel)
+            return clf_model.classifier_apply(params["head"], enc)
+
+        return infer
+
+    infer = _cached_jit(_EVAL_JITS, ("clf_infer", encoder_apply), _build)
 
     correct = total = 0
     losses, pred_ids, true_ids = [], [], []

@@ -63,7 +63,11 @@ def init_state(params, tx: optax.GradientTransformation) -> TrainState:
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState on the mesh: params take the TP specs; optimizer
     moments (same tree structure as params, nested inside the optax state)
-    take the matching param spec; scalars/schedule counters are replicated."""
+    take the matching param spec; scalars/schedule counters are replicated.
+
+    Note: device_put may alias the input buffers (e.g. replicated leaves
+    already on a mesh device).  The sharded step donates its state, so treat
+    the un-sharded state as consumed after this call."""
     pspecs = parallel.param_specs(state.params, mesh)
     pdef = jax.tree.structure(state.params)
 

@@ -76,8 +76,10 @@ def test_sharded_train_step_runs_and_matches(params):
     ref_state, ref_metrics = ref_step(ref_state, jnp.asarray(mel),
                                       jnp.asarray(tokens))
 
-    # sharded step
-    state = train.shard_state(train.init_state(params, tx), mesh)
+    # sharded step - deep-copy the fixture params first: the step donates its
+    # state, and replicated device_put may alias the original buffers.
+    own_params = jax.tree.map(lambda x: jnp.array(x), params)
+    state = train.shard_state(train.init_state(own_params, tx), mesh)
     step = train.make_sharded_train_step(loss_fn, tx, mesh)
     with mesh:
         state, metrics = step(state, jnp.asarray(mel), jnp.asarray(tokens))
@@ -104,3 +106,27 @@ def test_batch_sharding_layout():
 def test_make_mesh_validates():
     with pytest.raises(ValueError):
         parallel.make_mesh(jax.devices()[:6], model_parallel=4)
+
+
+def test_data_parallel_decode_matches_single_device(params):
+    """The jitted greedy decode runs with a data-sharded batch and produces
+    the same tokens as single-device execution (DP eval, SURVEY.md §5)."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+
+    m = WhisperModel(params, DIMS, name="dp-test")
+    mel = np.random.default_rng(7).standard_normal(
+        (8, DIMS.n_mels, DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, fp16=False
+    )
+    base = decode(m, jnp.asarray(mel), opts)
+
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=1)
+    m_sharded = WhisperModel(
+        parallel.shard_params(params, mesh), DIMS, name="dp-test-sharded"
+    )
+    sharded = decode(m_sharded, parallel.shard_batch(jnp.asarray(mel), mesh), opts)
+    for a, b in zip(base, sharded):
+        assert list(a.tokens) == list(b.tokens)
