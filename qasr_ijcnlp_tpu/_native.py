@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
-_SOURCES = ["bpe.cpp"]
+_SOURCES = ["bpe.cpp", "editdist.cpp"]
 
 
 def _source_hash() -> str:
@@ -69,8 +69,32 @@ def _lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.qasr_levenshtein.restype = ctypes.c_int32
+            lib.qasr_levenshtein.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
             _LIB = lib
     return _LIB
+
+
+def native_levenshtein(a_ids, b_ids) -> Optional[int]:
+    """Edit distance over int-id sequences via the C++ core; None if no lib."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    a = np.ascontiguousarray(a_ids, np.int32)
+    b = np.ascontiguousarray(b_ids, np.int32)
+    return int(
+        lib.qasr_levenshtein(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(b),
+        )
+    )
 
 
 class _BPEHandle:

@@ -30,16 +30,38 @@ from .normalizers import (  # noqa: F401
 )
 
 
+_NATIVE_LEV = "unset"
+
+
+def _native_lev():
+    global _NATIVE_LEV
+    if _NATIVE_LEV == "unset":
+        try:
+            from .._native import native_levenshtein
+
+            if native_levenshtein([1], [1]) == 0:
+                _NATIVE_LEV = native_levenshtein
+            else:  # pragma: no cover
+                _NATIVE_LEV = None
+        except Exception:
+            _NATIVE_LEV = None
+    return _NATIVE_LEV
+
+
 def levenshtein(ref: Sequence, hyp: Sequence) -> int:
-    """Edit distance (ins/del/sub all cost 1) via vectorized two-row DP."""
+    """Edit distance (ins/del/sub cost 1): C++ core (native/editdist.cpp)
+    with a vectorized numpy two-row DP fallback."""
     if len(ref) == 0:
         return len(hyp)
     if len(hyp) == 0:
         return len(ref)
-    # Map to int ids so the inner comparison is a numpy broadcast.
+    # Map to int ids so the comparison is integer equality.
     vocab = {}
     r = np.asarray([vocab.setdefault(x, len(vocab)) for x in ref])
     h = np.asarray([vocab.setdefault(x, len(vocab)) for x in hyp])
+    native = _native_lev()
+    if native is not None:
+        return native(r, h)
     m = len(h)
     pos = np.arange(m + 1)
     prev = pos.copy()

@@ -1,0 +1,221 @@
+"""Batched transcription serving.
+
+The reference has no serving story (research scripts only); this is the
+production-deployment surface for the TPU build:
+
+* :class:`BatchingTranscriber` — a micro-batching executor: concurrent
+  requests queue up, a background worker groups them into fixed-size padded
+  batches (one compiled decode signature) and fans results back out.  This
+  is the right TPU serving shape: the chip sees a constant (B, 80, 3000)
+  program at the throughput-optimal batch instead of per-request shapes.
+* :func:`serve` — a dependency-free stdlib HTTP front end:
+    POST /v1/transcribe   body = PCM WAV bytes or JSON {"audio": [...]}
+    GET  /healthz
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import wave
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from .audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+from .decode import DecodingOptions, decode
+
+
+@dataclass
+class _Pending:
+    mel: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+    error: Optional[str] = None
+
+
+class BatchingTranscriber:
+    """Groups concurrent requests into padded fixed-size decode batches."""
+
+    def __init__(
+        self,
+        model,
+        batch_size: int = 16,
+        max_wait_ms: float = 25.0,
+        options: Optional[DecodingOptions] = None,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1e3
+        self.options = options or DecodingOptions(
+            language="en", without_timestamps=True
+        )
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side ---------------------------------------------------------
+
+    def transcribe(self, audio: np.ndarray, timeout: float = 120.0) -> dict:
+        """Blocking single-utterance request (thread-safe)."""
+        mel = np.asarray(
+            log_mel_spectrogram(pad_or_trim(np.asarray(audio, np.float32)),
+                                self.model.dims.n_mels)
+        )
+        item = _Pending(mel=mel)
+        self._queue.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if item.error:
+            raise RuntimeError(item.error)
+        return item.result
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- batching worker -----------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = self.max_wait
+        import time
+
+        t0 = time.perf_counter()
+        while len(batch) < self.batch_size:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                mels = np.stack([p.mel for p in batch])
+                if len(batch) < self.batch_size:  # pad to the compiled shape
+                    pad = np.repeat(mels[-1:], self.batch_size - len(batch), 0)
+                    mels = np.concatenate([mels, pad], axis=0)
+                results = decode(self.model, mels, self.options)
+                for p, r in zip(batch, results):
+                    p.result = {
+                        "text": r.text.strip(),
+                        "tokens": [int(t) for t in r.tokens],
+                        "avg_logprob": float(r.avg_logprob),
+                        "no_speech_prob": float(r.no_speech_prob),
+                        "language": r.language,
+                    }
+                    p.event.set()
+            except Exception as e:  # propagate per-request
+                for p in batch:
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+
+
+def _decode_wav_bytes(data: bytes) -> np.ndarray:
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if n_ch > 1:
+        audio = audio.reshape(-1, n_ch).mean(axis=1)
+    if rate != 16000:
+        n_out = int(round(len(audio) * 16000 / rate))
+        audio = np.interp(
+            np.arange(n_out) / 16000.0, np.arange(len(audio)) / rate, audio
+        ).astype(np.float32)
+    return audio
+
+
+def serve(model, host: str = "127.0.0.1", port: int = 8077,
+          batch_size: int = 16, max_wait_ms: float = 25.0,
+          options: Optional[DecodingOptions] = None, block: bool = True):
+    """Start the HTTP transcription service; returns (server, transcriber)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    transcriber = BatchingTranscriber(model, batch_size, max_wait_ms, options)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "model": transcriber.model.name})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/transcribe":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                ctype = self.headers.get("Content-Type", "")
+                if "json" in ctype:
+                    audio = np.asarray(
+                        json.loads(data)["audio"], np.float32
+                    )
+                else:
+                    audio = _decode_wav_bytes(data)
+                self._send(200, transcriber.transcribe(audio))
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        try:
+            print(f"serving on http://{host}:{port} (batch={batch_size})")
+            server.serve_forever()
+        finally:
+            transcriber.close()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, transcriber
+
+
+def main(argv=None):
+    import argparse
+
+    from .cli import load_model_with_fallback, resolve_device
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="tiny")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8077)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=25.0)
+    p.add_argument("--device", type=str, default="auto")
+    args = p.parse_args(argv)
+    resolve_device(args.device)
+    model = load_model_with_fallback(args.model)
+    serve(model, args.host, args.port, args.batch_size, args.max_wait_ms)
+
+
+if __name__ == "__main__":
+    main()
