@@ -213,6 +213,76 @@ class _Session:
             self.prompt_reset_since = len(self.all_tokens)
 
 
+def _transcribe_batched(
+    session: _Session,
+    mel: np.ndarray,
+    content_frames: int,
+    max_batch: int,
+    no_speech_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    verbose: Optional[bool],
+) -> None:
+    """Fixed-stride windows decoded as device batches (one compiled shape).
+
+    The sequential loop's data-dependent seek/prompt coupling is dropped -
+    window w covers frames [w*N_FRAMES, (w+1)*N_FRAMES); windows failing the
+    quality gates re-decode individually through the temperature ladder.
+    """
+    from ..decode import decode as _decode
+
+    starts = list(range(0, max(content_frames, 1), N_FRAMES))
+    segments_by_window: dict = {}
+
+    for chunk_start in range(0, len(starts), max_batch):
+        chunk = starts[chunk_start : chunk_start + max_batch]
+        mels = jnp.stack([
+            pad_or_trim(jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES)
+            for s in chunk
+        ])
+        # Pad to the full batch so every call compiles one shape; padded rows
+        # are discarded below.
+        if len(chunk) < max_batch and len(starts) > max_batch:
+            mels = jnp.concatenate(
+                [mels, jnp.repeat(mels[-1:], max_batch - len(chunk), axis=0)]
+            )
+        opts = dict(session.options)
+        opts.pop("prompt", None)
+        results = _decode(
+            session.model, mels,
+            DecodingOptions(**opts, temperature=session.temperatures[0]),
+        )
+        for s, result in zip(chunk, results):
+            if len(session.temperatures) > 1 and not session._acceptable(result):
+                segment_mel = pad_or_trim(
+                    jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES
+                )
+                result = session.decode_window(segment_mel)
+            segments_by_window[s] = result
+
+    for s in starts:
+        result = segments_by_window[s]
+        if no_speech_threshold is not None:
+            skip = result.no_speech_prob > no_speech_threshold
+            if (
+                logprob_threshold is not None
+                and result.avg_logprob > logprob_threshold
+            ):
+                skip = False
+            if skip:
+                continue
+        session.seek = s
+        time_offset = float(s * HOP_LENGTH / SAMPLE_RATE)
+        segment_size = min(N_FRAMES, content_frames - s)
+        segments, _, _ = session.segment_window(result, time_offset, segment_size)
+        if verbose:
+            for seg in segments:
+                print(make_safe(
+                    f"[{format_timestamp(seg['start'])} --> "
+                    f"{format_timestamp(seg['end'])}] {seg['text']}"
+                ))
+        session.commit(segments, False, result.temperature)
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -230,11 +300,20 @@ def transcribe(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     clip_timestamps: Union[str, List[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
+    batch_windows: Union[bool, int] = False,
     **decode_options,
 ) -> dict:
     """Transcribe audio of any length (reference transcribe.py:38-514).
 
     Returns {"text", "segments", "language"}.
+
+    ``batch_windows`` enables the TPU fast path for long audio: all 30 s
+    windows are decoded in ONE batched call (optionally capped at
+    ``int(batch_windows)`` windows per device batch) instead of the
+    sequential seek loop.  Implies no cross-window prompt conditioning and
+    fixed window boundaries; per-window temperature fallback still applies
+    (failed windows are re-decoded individually).  An int >= 2, or True for
+    batches of 64.
     """
     # 30 s of zero padding on the right so the last window is full-size.
     mel = np.asarray(
@@ -300,6 +379,20 @@ def transcribe(
         remaining_prompt_length -= len(initial_prompt_tokens)
     else:
         initial_prompt_tokens = []
+
+    if batch_windows:
+        max_batch = 64 if batch_windows is True else max(int(batch_windows), 2)
+        _transcribe_batched(
+            session, mel, content_frames, max_batch, no_speech_threshold,
+            logprob_threshold, verbose,
+        )
+        return dict(
+            text=tokenizer.decode(
+                session.all_tokens[len(initial_prompt_tokens):]
+            ),
+            segments=session.all_segments,
+            language=language,
+        )
 
     for clip_start, clip_end in seek_clips:
         session.seek = max(session.seek, clip_start)

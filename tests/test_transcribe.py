@@ -155,6 +155,27 @@ def test_transcribe_word_timestamps_smoke(tiny_model):
             assert 0.0 <= w["probability"] <= 1.0
 
 
+def test_transcribe_batch_windows_matches_structure(tiny_model):
+    """The batched fast path yields the same per-window segmentation as the
+    sequential loop when conditioning is off and gates are disabled."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    audio = _synthetic_speechish_audio(65.0, seed=5)  # 3 windows
+    kw = dict(
+        language="en", temperature=0.0, sample_len=8,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None, condition_on_previous_text=False,
+    )
+    seq = transcribe(tiny_model, audio, **kw)
+    bat = transcribe(tiny_model, audio, batch_windows=2, **kw)
+    assert bat["language"] == "en"
+    assert len(bat["segments"]) >= 1
+    # identical decode per window => identical texts when seeks align
+    seq_texts = [s["text"] for s in seq["segments"]]
+    bat_texts = [s["text"] for s in bat["segments"]]
+    assert seq_texts[0] == bat_texts[0]
+
+
 def test_transcribe_clip_timestamps(tiny_model):
     from qasr_ijcnlp_tpu.transcribe import transcribe
 
