@@ -74,6 +74,10 @@ def build_parser():
     p.add_argument("--threads", type=optional_int, default=0)
     p.add_argument("--clip_timestamps", type=str, default="0")
     p.add_argument("--hallucination_silence_threshold", type=optional_float)
+    p.add_argument("--batch_windows", type=optional_int, default=None,
+                   help="TPU fast path: decode all 30s windows as device "
+                        "batches of this size (disables cross-window prompt "
+                        "conditioning)")
     return p
 
 
