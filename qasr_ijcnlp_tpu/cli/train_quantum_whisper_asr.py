@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_text_len", type=int, default=100)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/quantum_asr")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint path to resume parameters from")
     return p
 
 
@@ -99,6 +101,7 @@ def main(argv=None):
         trainable_mask=mask,
         checkpoint_dir=args.checkpoint_dir,
         history_path="quantum_whisper_asr_training_history.json",
+        resume_from=args.resume,
     )
     print("Training complete. Best:", out["tracker"].best)
     return out

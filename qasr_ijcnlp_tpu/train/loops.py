@@ -41,6 +41,12 @@ from .loss import masked_cross_entropy
 from .step import TrainState, init_state, make_train_step
 
 
+def _own(tree):
+    """Copy a param tree so the donating jitted step never consumes the
+    caller's arrays (donation would delete them)."""
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+
 def encoder_fn_for(model_obj) -> Callable:
     """(params_enc, mel) -> (B, Ta, D) for classical or quantum encoders."""
     dims = model_obj.dims
@@ -145,11 +151,22 @@ def train_char_asr(
     trainable_mask: Optional[Dict] = None,
     checkpoint_dir: str = "checkpoints/char_asr",
     history_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
     log: Callable = print,
 ) -> Dict:
-    """AdamW + cosine, grad-clip 1.0, dual best-CER/WER checkpoints."""
+    """AdamW + cosine, grad-clip 1.0, dual best-CER/WER checkpoints.
+
+    ``resume_from`` restores a prior checkpoint's params before training -
+    the resume capability the reference documents but never wires
+    (SURVEY.md §5 "No resume flag")."""
     from .schedule import cosine
     from .step import make_optimizer
+
+    if resume_from:
+        from .checkpoint import load_pytree
+
+        params = load_pytree(resume_from, target=params)
+        log(f"resumed params from {resume_from}")
 
     steps_per_epoch = max(len(train_loader), 1)
     tx = make_optimizer(
@@ -157,7 +174,7 @@ def train_char_asr(
         weight_decay=weight_decay,
         trainable_mask=trainable_mask,
     )
-    state = init_state(params, tx)
+    state = init_state(_own(params), tx)
     step = jax.jit(make_train_step(char_asr_loss_fn(encoder_apply, head_kind), tx),
                    donate_argnums=(0,))
 
@@ -280,7 +297,7 @@ def train_classifier(
         weight_decay=weight_decay,
         trainable_mask=trainable_mask,
     )
-    state = init_state(params, tx)
+    state = init_state(_own(params), tx)
     step = jax.jit(make_train_step(classifier_loss_fn(encoder_apply), tx),
                    donate_argnums=(0,))
 
@@ -353,7 +370,7 @@ def train_token_asr(
         warmup_cosine(learning_rate, warmup_steps, epochs * steps_per_epoch),
         weight_decay=weight_decay,
     )
-    state = init_state(params, tx)
+    state = init_state(_own(params), tx)
     loss_fn = whisper_loss_fn(dims, compute_dtype)
     if mesh is not None:
         state = shard_state(state, mesh)

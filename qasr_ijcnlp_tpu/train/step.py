@@ -106,17 +106,39 @@ def whisper_loss_fn(dims: ModelDimensions, compute_dtype="float32") -> Callable:
     return loss_fn
 
 
-def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation) -> Callable:
-    """(state, *batch) -> (state, metrics) — pure; jit with donate_argnums=0."""
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    skip_nonfinite: bool = True,
+) -> Callable:
+    """(state, *batch) -> (state, metrics) — pure; jit with donate_argnums=0.
+
+    ``skip_nonfinite`` is the failure-detection guard (SURVEY.md §5): a batch
+    producing a non-finite loss/grad-norm leaves params and optimizer state
+    untouched (``metrics['skipped']`` = 1) instead of poisoning the run.
+    """
 
     def train_step(state: TrainState, *batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, *batch)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state,
+                state.opt_state,
+            )
+            skipped = (~ok).astype(jnp.int32)
+        else:
+            skipped = jnp.zeros((), jnp.int32)
         return (
             TrainState(params, opt_state, state.step + 1),
-            {"loss": loss, "grad_norm": gnorm},
+            {"loss": loss, "grad_norm": gnorm, "skipped": skipped},
         )
 
     return train_step

@@ -231,6 +231,47 @@ def test_freeze_mask_keeps_frozen_params():
     np.testing.assert_array_equal(np.asarray(b_old), np.asarray(b_new))
 
 
+def test_nonfinite_batch_skipped():
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.train.step import init_state, make_optimizer, make_train_step
+
+    params = {"w": jnp.ones((4,))}
+    tx = make_optimizer(1e-1)
+    state = init_state(params, tx)
+
+    def loss(p, x):
+        return jnp.sum(p["w"] * x)
+
+    step = make_train_step(loss, tx)
+    state2, m = step(state, jnp.full((4,), jnp.nan))
+    assert int(m["skipped"]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["w"]), np.asarray(params["w"])
+    )
+    state3, m = step(state2, jnp.ones((4,)))
+    assert int(m["skipped"]) == 0
+    assert np.abs(np.asarray(state3.params["w"]) - 1.0).max() > 0
+
+
+def test_resume_from_checkpoint(tiny_asr_setup, tmp_path):
+    from qasr_ijcnlp_tpu.train.checkpoint import load_pytree, save_pytree
+    from qasr_ijcnlp_tpu.train.loops import train_char_asr
+
+    params, encoder_apply, view, vocab = tiny_asr_setup
+    save_pytree(str(tmp_path / "ckpt"), params)
+    loader = DataLoader(view, batch_size=4)
+    out = train_char_asr(
+        params, encoder_apply, loader, None, vocab,
+        head_kind="lstm", epochs=1, learning_rate=1e-3,
+        checkpoint_dir=str(tmp_path / "out"),
+        resume_from=str(tmp_path / "ckpt"),
+        log=lambda *a: None,
+    )
+    assert out["history"].epochs
+
+
 def test_pad_batch_to():
     a = np.arange(6).reshape(3, 2)
     (padded,), real = pad_batch_to((a,), 5)
