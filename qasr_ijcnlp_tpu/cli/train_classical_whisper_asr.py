@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_tokens", type=int, default=448)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/classical_asr")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize transformer blocks in backward "
+                        "(less HBM, ~30%% more FLOPs)")
     p.add_argument("--model_parallel", type=int, default=0,
                    help="Enable SPMD over all devices with this TP degree "
                         "(0 = single-device). Note: on virtual CPU meshes, "
@@ -49,6 +52,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     resolve_device(args.device)
 
+    if args.remat:
+        cmodel.set_remat(True)
     dims = dims_for(args.model_size)
     # "From scratch": random init with the official architecture
     # (reference :38-81 re-initializes every weight of the loaded model).

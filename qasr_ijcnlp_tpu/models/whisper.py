@@ -39,10 +39,23 @@ Params = Dict[str, Any]
 # Toggle for the Pallas flash-attention path (TPU only; set by ops.flash).
 _USE_FLASH = False
 
+# Rematerialize transformer blocks in the backward pass (trade FLOPs for HBM;
+# enables larger batches / larger family members in training).
+_USE_REMAT = False
+
 
 def set_flash_attention(enabled: bool) -> None:
     global _USE_FLASH
     _USE_FLASH = enabled
+
+
+def set_remat(enabled: bool) -> None:
+    global _USE_REMAT
+    _USE_REMAT = enabled
+
+
+def _maybe_remat(fn):
+    return jax.checkpoint(fn) if _USE_REMAT else fn
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000) -> np.ndarray:
@@ -260,7 +273,7 @@ def encoder_apply(
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
         return x, None
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x, _ = jax.lax.scan(_maybe_remat(block), x, params["blocks"])
     return layer_norm(x, params["ln_post"])
 
 
@@ -297,7 +310,7 @@ def decoder_apply(
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
         return x, None
 
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    x, _ = jax.lax.scan(_maybe_remat(block), x, params["blocks"])
     x = layer_norm(x, params["ln"])
     logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
     return logits
