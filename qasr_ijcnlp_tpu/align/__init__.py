@@ -19,10 +19,9 @@ triton_ops.py:13-117):
 
 from __future__ import annotations
 
-import string
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

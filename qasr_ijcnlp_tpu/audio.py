@@ -19,7 +19,6 @@ Constants mirror /root/reference/whisper/whisper/audio.py:13-22.
 from __future__ import annotations
 
 import functools
-import os
 import subprocess
 from typing import Optional, Union
 

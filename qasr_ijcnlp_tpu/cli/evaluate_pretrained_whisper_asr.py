@@ -11,8 +11,6 @@ import argparse
 import re
 import string
 
-import numpy as np
-
 from .. import metrics as qmetrics
 from ..data import load_librispeech
 from ..reporting import (

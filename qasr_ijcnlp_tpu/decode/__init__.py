@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field, replace
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,6 @@ import numpy as np
 
 from ..audio import CHUNK_LENGTH
 from ..models import whisper as model
-from ..models.dims import ModelDimensions
 from ..tokenizer import Tokenizer, get_tokenizer
 from ..utils import compression_ratio
 from . import loop as _loop

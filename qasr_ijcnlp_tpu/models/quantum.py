@@ -16,15 +16,15 @@ reference's trainable-parameter budget (PROJECT_SUMMARY.md:88).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.qsim import quantum_expvals
-from .dims import ModelDimensions, tiny_dims
+from .dims import ModelDimensions
 from . import whisper as cmodel
 from .registry import WhisperModel
 

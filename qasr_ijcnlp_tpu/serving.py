@@ -25,7 +25,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+from .audio import log_mel_spectrogram, pad_or_trim
 from .decode import DecodingOptions, decode
 
 

@@ -21,7 +21,6 @@ and streams batches through the device prefetcher.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
@@ -38,7 +37,7 @@ from ..models import whisper as cmodel
 from ..models.quantum import quantum_encoder_apply
 from .checkpoint import BestTracker, TrainingHistory
 from .loss import masked_cross_entropy
-from .step import TrainState, init_state, make_train_step
+from .step import init_state, make_train_step
 
 
 def _own(tree):

@@ -9,7 +9,6 @@ shift is done by the caller so the loss itself is shape-agnostic.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import optax
 
