@@ -259,7 +259,11 @@ def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
         precision=jax.lax.Precision.HIGHEST,
     )
     log_spec = jnp.log10(jnp.maximum(mel_spec, 1e-10))
-    log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+    # Per-item dynamic-range clamp: the reference computes the mel one clip
+    # at a time (audio.py:154), so a batched call must clamp each item by its
+    # OWN max to stay numerically identical.
+    item_max = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    log_spec = jnp.maximum(log_spec, item_max - 8.0)
     return (log_spec + 4.0) / 4.0
 
 
@@ -281,8 +285,8 @@ def log_mel_spectrogram(
     (n_fft=400, hop=160, centered/reflect), power spectrum, Slaney mel
     projection, log10, clamp to (max - 8), then ``(x + 4) / 4``.
 
-    Note: like the reference, the dynamic-range clamp uses the *global* max
-    over all leading dims of a batched call.
+    Batched calls clamp each item's dynamic range by its own max, matching
+    the reference's per-clip computation exactly.
     """
     if isinstance(audio, str):
         audio = load_audio(audio)

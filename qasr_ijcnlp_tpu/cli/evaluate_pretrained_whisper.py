@@ -44,18 +44,19 @@ _SPLIT_MAP = {
 }
 
 
-class _MelView:
-    def __init__(self, base, n_mels):
+class _AudioView:
+    """Yields padded raw audio; the mel runs as ONE batched device program
+    per eval batch instead of a per-item round trip."""
+
+    def __init__(self, base):
         self.base = base
-        self.n_mels = n_mels
 
     def __len__(self):
         return len(self.base)
 
     def __getitem__(self, i):
         audio, text = self.base[i]
-        mel = np.asarray(log_mel_spectrogram(pad_or_trim(audio), self.n_mels))
-        return mel, np.int32(i)
+        return np.asarray(pad_or_trim(audio), np.float32), np.int32(i)
 
 
 def main(argv=None):
@@ -67,9 +68,7 @@ def main(argv=None):
         _SPLIT_MAP.get(args.split, args.split), args.max_samples
     )
     texts = [base[i][1] for i in range(len(base))]
-    loader = DataLoader(
-        _MelView(base, model.dims.n_mels), args.batch_size, shuffle=False
-    )
+    loader = DataLoader(_AudioView(base), args.batch_size, shuffle=False)
 
     mesh = None
     if args.data_parallel:
@@ -84,11 +83,13 @@ def main(argv=None):
     audio_seconds = len(base) * 30.0
     t0 = time.time()
     for batch in loader:
-        (mel, idx), real = pad_batch_to(batch, args.batch_size)
+        (audio, idx), real = pad_batch_to(batch, args.batch_size)
+        audio = jax.numpy.asarray(audio)
         if mesh is not None:
             from .. import parallel
 
-            mel = parallel.shard_batch(jax.numpy.asarray(mel), mesh)
+            audio = parallel.shard_batch(audio, mesh)
+        mel = log_mel_spectrogram(audio, model.dims.n_mels)
         results = model.decode(mel, options)
         for b in range(real):
             hypotheses[int(idx[b])] = results[b].text

@@ -28,6 +28,29 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (one process per host on a pod/multi-slice).
+
+    Thin wrapper over ``jax.distributed.initialize``; with no arguments, TPU
+    pod environments auto-discover the topology.  After this, ``jax.devices()``
+    spans every host and :func:`make_mesh` builds global meshes whose
+    collectives ride ICI within a slice and DCN across slices.  No-op when
+    already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallel: int = 1,

@@ -56,7 +56,15 @@ def test_log_mel_batched_and_padded(rng):
     import torch
 
     wav = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
-    ref = whisper.log_mel_spectrogram(torch.from_numpy(wav), padding=800).numpy()
+    # Our batched call clamps each item's dynamic range by its OWN max -
+    # identical to calling the reference once per clip (which is how every
+    # reference eval path uses it).  The reference's batched call instead
+    # clamps by the batch-global max (audio.py:154), a quirk we deliberately
+    # do not replicate: per-item results must not depend on batch-mates.
+    ref = np.stack([
+        whisper.log_mel_spectrogram(torch.from_numpy(w), padding=800).numpy()
+        for w in wav
+    ])
     ours = np.asarray(qaudio.log_mel_spectrogram(wav, padding=800))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=2e-4)
