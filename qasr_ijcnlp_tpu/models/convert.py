@@ -194,7 +194,7 @@ def save_torch_checkpoint(path: str, params: Dict[str, Any], dims: ModelDimensio
     import torch
 
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in to_torch_state_dict(params, dims).items()
     }
     torch.save({"dims": dims.to_dict(), "model_state_dict": sd}, path)

@@ -1,0 +1,81 @@
+"""Checkpoint interop: orbax round trip with metadata, best-k tracking, and
+the official .pt export being loadable by the REFERENCE loader."""
+
+import numpy as np
+import pytest
+
+
+def test_pytree_round_trip_with_metadata(tmp_path):
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.train.checkpoint import (
+        load_metadata,
+        load_pytree,
+        save_pytree,
+    )
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4, jnp.int32)}}
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree, metadata={"epoch": 3, "note": "hello"})
+    restored = load_pytree(path, target=tree)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(restored["b"]["c"]),
+                                  np.asarray(tree["b"]["c"]))
+    meta = load_metadata(path)
+    assert meta["epoch"] == 3
+
+
+def test_best_tracker_modes(tmp_path):
+    from qasr_ijcnlp_tpu.train.checkpoint import BestTracker
+
+    tracker = BestTracker(str(tmp_path), {"cer": "min", "acc": "max"})
+    t1 = tracker.update({"cer": 0.5, "acc": 0.6}, {"w": np.ones(2)})
+    assert t1 == {"cer": True, "acc": True}
+    t2 = tracker.update({"cer": 0.7, "acc": 0.9}, {"w": np.zeros(2)})
+    assert t2 == {"cer": False, "acc": True}
+    assert tracker.best == {"cer": 0.5, "acc": 0.9}
+    # best_acc file holds the LATEST acc improvement
+    from qasr_ijcnlp_tpu.train.checkpoint import load_pytree
+
+    best_acc = load_pytree(str(tmp_path / "best_acc"), target={"w": np.ones(2)})
+    np.testing.assert_array_equal(np.asarray(best_acc["w"]), np.zeros(2))
+
+
+def test_reference_loads_our_pt_export(tmp_path):
+    """Full interop loop: our params -> official .pt -> the reference's
+    torch Whisper constructor -> forward agrees with our forward."""
+    from tests.oracle import reference_whisper
+
+    whisper = reference_whisper()
+    import torch
+
+    import jax
+
+    from qasr_ijcnlp_tpu.models import whisper as jmodel
+    from qasr_ijcnlp_tpu.models.dims import ModelDimensions
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel, save_model
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=40, n_audio_state=64, n_audio_head=4,
+        n_audio_layer=2, n_vocab=200, n_text_ctx=16, n_text_state=64,
+        n_text_head=4, n_text_layer=2,
+    )
+    params = jmodel.init_params(jax.random.PRNGKey(3), dims)
+    m = WhisperModel(params, dims, name="interop")
+    pt_path = str(tmp_path / "interop.pt")
+    save_model(m, pt_path)
+
+    ckpt = torch.load(pt_path, map_location="cpu", weights_only=False)
+    ref_dims = whisper.model.ModelDimensions(**ckpt["dims"])
+    ref = whisper.model.Whisper(ref_dims).eval()
+    missing, unexpected = ref.load_state_dict(ckpt["model_state_dict"],
+                                              strict=False)
+    assert not unexpected, unexpected
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 80)).astype(np.float32)
+    tokens = rng.integers(0, 200, (1, 6))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(mel), torch.from_numpy(tokens)).numpy()
+    ours = np.asarray(jmodel.forward(params, mel, tokens, dims))
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
