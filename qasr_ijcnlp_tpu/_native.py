@@ -16,7 +16,7 @@ from typing import Dict, List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
-_SOURCES = ["bpe.cpp", "editdist.cpp"]
+_SOURCES = ["bpe.cpp", "editdist.cpp", "wavio.cpp"]
 
 
 def _source_hash() -> str:
@@ -76,8 +76,39 @@ def _lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.qasr_wav_decode.restype = ctypes.c_int64
+            lib.qasr_wav_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
             _LIB = lib
     return _LIB
+
+
+def native_wav_decode(data: bytes, target_rate: int = 16000):
+    """WAV bytes -> mono float32 at target_rate via the C++ decoder.
+
+    Returns None when the native lib is unavailable; raises ValueError on
+    malformed/unsupported input."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = lib.qasr_wav_decode(data, len(data), target_rate, None, 0)
+    if n < 0:
+        raise ValueError(f"WAV decode failed (code {n})")
+    out = np.empty(int(n), np.float32)
+    got = lib.qasr_wav_decode(
+        data, len(data), target_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+    )
+    if got < 0:
+        raise ValueError(f"WAV decode failed (code {got})")
+    return out[:got]
 
 
 def native_levenshtein(a_ids, b_ids) -> Optional[int]:

@@ -45,7 +45,21 @@ TOKENS_PER_SECOND = SAMPLE_RATE // N_SAMPLES_PER_TOKEN  # 20ms per audio token
 
 
 def _load_wav(file: str, sr: int) -> np.ndarray:
-    """Decode a PCM WAV file with the stdlib, mono-mixing and resampling."""
+    """Decode a PCM WAV file, mono-mixing and resampling.
+
+    Prefers the native C++ decoder (native/wavio.cpp); stdlib fallback."""
+    try:
+        from ._native import native_wav_decode
+
+        with open(file, "rb") as f:
+            data = f.read()
+        audio = native_wav_decode(data, sr)
+        if audio is not None:
+            return audio
+    except ValueError:
+        raise
+    except Exception:
+        pass  # native lib unavailable; stdlib path below
     import wave
 
     with wave.open(file, "rb") as w:

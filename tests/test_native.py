@@ -65,6 +65,64 @@ def test_encoding_uses_native_and_roundtrips(enc):
     assert enc.decode(ids) == text
 
 
+def _wav_bytes(audio, rate=16000, channels=1, width=2):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if channels > 1:
+            audio = np.repeat(audio[:, None], channels, axis=1).reshape(-1)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_native_wav_decode_matches_stdlib(native):
+    import numpy as np
+
+    from qasr_ijcnlp_tpu._native import native_wav_decode
+
+    rng = np.random.default_rng(0)
+    audio = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    out = native_wav_decode(_wav_bytes(audio))
+    assert out is not None and out.shape == (16000,)
+    np.testing.assert_allclose(out, (audio * 32767).astype(np.int16) / 32768.0, atol=1e-4)
+
+    # stereo mono-mix
+    out2 = native_wav_decode(_wav_bytes(audio, channels=2))
+    np.testing.assert_allclose(out2, out, atol=1e-4)
+
+    # resample 8k -> 16k doubles the length (within rounding)
+    out3 = native_wav_decode(_wav_bytes(audio[:8000], rate=8000))
+    assert abs(len(out3) - 16000) <= 2
+
+    # malformed input -> clean error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native_wav_decode(b"RIFFxxxxWAVEgarbage")
+
+
+def test_load_audio_uses_native(tmp_path, native):
+    import numpy as np
+
+    from qasr_ijcnlp_tpu.audio import load_audio
+
+    rng = np.random.default_rng(1)
+    audio = (0.2 * rng.standard_normal(32000)).astype(np.float32)
+    path = str(tmp_path / "clip.wav")
+    with open(path, "wb") as f:
+        f.write(_wav_bytes(audio))
+    out = load_audio(path)
+    assert out.shape == (32000,)
+    np.testing.assert_allclose(out, (audio * 32767).astype(np.int16) / 32768.0, atol=1e-4)
+
+
 def test_native_is_faster(native, enc):
     words = ("internationalization " * 50).strip().split()
     pieces = [(" " + w).encode() for w in words]
