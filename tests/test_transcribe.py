@@ -176,6 +176,26 @@ def test_transcribe_batch_windows_matches_structure(tiny_model):
     assert seq_texts[0] == bat_texts[0]
 
 
+def test_transcribe_initial_prompt_branches(tiny_model):
+    """initial_prompt and carry_initial_prompt paths run and prepend the
+    prompt tokens to the conditioning stream (not the output text)."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    audio = _synthetic_speechish_audio(2.0, seed=9)
+    kw = dict(
+        language="en", temperature=0.0, sample_len=6,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    r1 = transcribe(tiny_model, audio, initial_prompt="context words", **kw)
+    assert "context words" not in r1["text"]
+    r2 = transcribe(
+        tiny_model, audio, initial_prompt="context words",
+        carry_initial_prompt=True, **kw,
+    )
+    assert set(r2) == {"text", "segments", "language"}
+
+
 def test_transcribe_clip_timestamps(tiny_model):
     from qasr_ijcnlp_tpu.transcribe import transcribe
 
