@@ -265,6 +265,32 @@ def load_speech_commands(
 # ---------------------------------------------------------------------------
 
 
+def create_dataloader(dataset, batch_size: int = 8, shuffle: bool = True,
+                      num_workers: int = 0):
+    """Reference-signature loader factory (librispeech_asr.py:225-233);
+    ``num_workers`` is accepted for compatibility (prefetching is handled by
+    loader.prefetch_to_device)."""
+    from .loader import DataLoader
+
+    return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle)
+
+
+def validate_dataset(dataset, num_samples: int = 5, log=print) -> None:
+    """Print a sample inspection (reference librispeech_asr.py:235-254)."""
+    log(f"Dataset validation - showing {num_samples} samples:")
+    log("-" * 60)
+    for i in range(min(num_samples, len(dataset))):
+        item = dataset[i]
+        parts = []
+        for field in item:
+            arr = np.asarray(field)
+            parts.append(f"shape={arr.shape} dtype={arr.dtype}"
+                         if arr.ndim else f"value={arr}")
+        log(f"Sample {i + 1}: " + "  ".join(parts))
+    log(f"Total samples: {len(dataset)}")
+    log("-" * 60)
+
+
 class CharASRView:
     """Dataset view yielding (mel (n_mels, 3000), char_ids (max_text_len,))
     like the reference LibriSpeechASRDataset (librispeech_asr.py:41-130)."""

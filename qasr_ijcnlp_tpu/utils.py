@@ -54,6 +54,14 @@ def str2bool(string: str) -> bool:
     raise ValueError(f"Expected one of {set(str2val.keys())}, got {string}")
 
 
+def get_device() -> str:
+    """Reference-signature device helper (utils.py:368-373): the active JAX
+    backend name ('tpu'/'cpu'/'gpu')."""
+    import jax
+
+    return jax.default_backend()
+
+
 def get_start(segments):
     """Earliest word start, falling back to the first segment start."""
     return next(
