@@ -40,6 +40,12 @@ class LoopConfig(NamedTuple):
     timestamp_begin: int
     no_speech: Optional[int]
     compute_dtype: str = "float32"
+    # Tokens decoded per while_loop iteration.  The loop-carried math is
+    # identical for any value; unrolling amortizes the backend's fixed
+    # per-iteration dispatch cost (measured ~3 ms/iteration through the TPU
+    # tunnel vs sub-ms of actual compute).  Early-exit on all-finished is
+    # checked every `unroll` tokens.
+    unroll: int = 4
 
 
 def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
@@ -120,29 +126,38 @@ def greedy_decode(
     def body(state):
         (i, buf, cur_len, cache, sum_logprobs, finished, logits, last, prev,
          max_ts, rng) = state
-        filtered = apply_filters(cfg.filters, logits, cur_len, last, prev, max_ts)
-        if temperature == 0.0:
-            next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
-        else:
-            rng, key = jax.random.split(rng)
-            next_tok = jax.random.categorical(key, filtered / temperature).astype(
-                jnp.int32
+        for j in range(cfg.unroll):
+            # Sub-steps past sample_len (only possible in the final unrolled
+            # iteration) commit nothing: rows act as finished.
+            active = (i + j) < cfg.sample_len
+            filtered = apply_filters(
+                cfg.filters, logits, cur_len, last, prev, max_ts
             )
-        logprobs = _log_softmax(filtered)
-        cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
-        sum_logprobs = sum_logprobs + cur_lp * (~finished)
-        next_tok = jnp.where(finished, eot, next_tok)
-        buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, next_tok)
-        finished = finished | (next_tok == eot)
-        last, prev, max_ts = _update_ts_state(
-            last, prev, max_ts, next_tok, cfg.timestamp_begin
-        )
-        step_logits, cache = model.decoder_step(
-            params["decoder"], next_tok[:, None], cache, cfg.dims,
-            jnp.dtype(cfg.compute_dtype),
-        )
-        return (i + 1, buf, cur_len + 1, cache, sum_logprobs, finished,
-                step_logits[:, 0], last, prev, max_ts, rng)
+            if temperature == 0.0:
+                next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+            else:
+                rng, key = jax.random.split(rng)
+                next_tok = jax.random.categorical(
+                    key, filtered / temperature
+                ).astype(jnp.int32)
+            logprobs = _log_softmax(filtered)
+            cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
+            commit = (~finished) & active
+            sum_logprobs = sum_logprobs + cur_lp * commit
+            next_tok = jnp.where(commit, next_tok, eot)
+            buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, next_tok)
+            finished = finished | (next_tok == eot)
+            last, prev, max_ts = _update_ts_state(
+                last, prev, max_ts, next_tok, cfg.timestamp_begin
+            )
+            step_logits, cache = model.decoder_step(
+                params["decoder"], next_tok[:, None], cache, cfg.dims,
+                jnp.dtype(cfg.compute_dtype),
+            )
+            logits = step_logits[:, 0]
+            cur_len = cur_len + 1
+        return (i + cfg.unroll, buf, cur_len, cache, sum_logprobs, finished,
+                logits, last, prev, max_ts, rng)
 
     state = (jnp.asarray(0, jnp.int32), buf, cur_len, cache, sum_logprobs,
              finished, logits, last, prev, max_ts, rng)
