@@ -209,7 +209,7 @@ def beam_decode(
     fin_count = jnp.zeros((B,), jnp.int32)
     last, prev, max_ts = _filter_state(buf, cur_len, cfg)
 
-    def cond(state):
+    def _live(state):
         i, cur_len, fin_count = state[0], state[2], state[8]
         return (
             (i < cfg.sample_len)
@@ -217,7 +217,17 @@ def beam_decode(
             & (cur_len <= cfg.dims.n_text_ctx)
         )
 
+    cond = _live
+
     def body(state):
+        # Unrolled sub-steps amortize per-iteration dispatch; each sub-step
+        # re-checks the exact exit predicate via lax.cond so semantics are
+        # identical to the step-at-a-time loop.
+        for _ in range(cfg.unroll):
+            state = jax.lax.cond(_live(state), _substep, lambda s: s, state)
+        return state
+
+    def _substep(state):
         (i, buf, cur_len, cache, sum_logprobs, logits, fin_toks, fin_scores,
          fin_count, last, prev, max_ts) = state
 
