@@ -58,14 +58,18 @@ def make_mesh(
 ) -> Mesh:
     """A (data, model) mesh over ``devices`` (default: all local devices).
 
-    ``model_parallel`` must divide the device count; the data axis gets the
-    rest.  With ``model_parallel=1`` this is pure DP and every ``model``
+    ``model_parallel`` is a *request*: if it does not divide the device count
+    it is demoted to the largest divisor that does (worst case 1 = pure DP),
+    mirroring the shape-aware spec demotion in :func:`param_specs` — sharding
+    must degrade, never refuse.  With ``model_parallel=1`` every ``model``
     collective is a no-op.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if n % model_parallel != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    if model_parallel < 1 or n % model_parallel != 0:
+        model_parallel = max(
+            d for d in range(1, min(model_parallel, n) + 1) if n % d == 0
+        )
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names)
 

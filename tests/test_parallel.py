@@ -103,9 +103,15 @@ def test_batch_sharding_layout():
     assert sx.sharding == NamedSharding(mesh, P("data", None, None))
 
 
-def test_make_mesh_validates():
-    with pytest.raises(ValueError):
-        parallel.make_mesh(jax.devices()[:6], model_parallel=4)
+def test_make_mesh_degrades_to_divisor():
+    # Sharding must degrade, never refuse: a non-dividing model_parallel
+    # request is demoted to the largest divisor (here 6 devices, tp 4 -> 3),
+    # and a single device always yields a 1x1 mesh whatever was requested
+    # (the driver's dryrun entry hits exactly this on a 1-chip host).
+    mesh = parallel.make_mesh(jax.devices()[:6], model_parallel=4)
+    assert mesh.shape == {"data": 2, "model": 3}
+    mesh1 = parallel.make_mesh(jax.devices()[:1], model_parallel=2)
+    assert mesh1.shape == {"data": 1, "model": 1}
 
 
 def test_data_parallel_decode_matches_single_device(params):
