@@ -12,11 +12,12 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from typing import Dict, List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
-_SOURCES = ["bpe.cpp", "editdist.cpp", "wavio.cpp"]
+_SOURCES = ["bpe.cpp", "editdist.cpp", "wavio.cpp", "flac.cpp"]
 
 
 def _source_hash() -> str:
@@ -84,6 +85,14 @@ def _lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
             ]
+            lib.qasr_flac_decode.restype = ctypes.c_int64
+            lib.qasr_flac_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
             _LIB = lib
     return _LIB
 
@@ -111,6 +120,28 @@ def native_wav_decode(data: bytes, target_rate: int = 16000):
     return out[:got]
 
 
+def native_flac_decode(data: bytes, target_rate: int = 16000):
+    """FLAC bytes -> mono float32 at target_rate via the C++ decoder
+    (native/flac.cpp).  Returns None when the native lib is unavailable;
+    raises ValueError on malformed/unsupported input."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    n = lib.qasr_flac_decode(data, len(data), target_rate, None, 0)
+    if n < 0:
+        raise ValueError(f"FLAC decode failed (code {n})")
+    out = np.empty(int(n), np.float32)
+    got = lib.qasr_flac_decode(
+        data, len(data), target_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+    )
+    if got < 0:
+        raise ValueError(f"FLAC decode failed (code {got})")
+    return out[:got]
+
+
 def native_levenshtein(a_ids, b_ids) -> Optional[int]:
     """Edit distance over int-id sequences via the C++ core; None if no lib."""
     lib = _lib()
@@ -129,43 +160,57 @@ def native_levenshtein(a_ids, b_ids) -> Optional[int]:
 
 
 class _BPEHandle:
-    """Per-rank-table native BPE state, keyed by the table's identity."""
+    """Per-rank-table native BPE state.
+
+    Cache entries hold a strong reference to the ranks dict alongside the
+    native handle: keying by ``id(ranks)`` alone would let a collected dict's
+    id be reused by a different table, silently serving stale merges.  The
+    output buffer is thread-local so concurrent encodes never share it.
+    """
 
     def __init__(self):
-        self._tables: Dict[int, ctypes.c_void_p] = {}
-        self._out = (ctypes.c_int32 * 4096)()
+        # id -> (ranks, handle); keeping `ranks` alive pins the id.
+        self._tables: Dict[int, tuple] = {}
+        self._tls = threading.local()
+
+    def _out_buf(self):
+        buf = getattr(self._tls, "out", None)
+        if buf is None:
+            buf = self._tls.out = (ctypes.c_int32 * 4096)()
+        return buf
 
     def _table_for(self, ranks: Dict[bytes, int]) -> Optional[ctypes.c_void_p]:
-        key = id(ranks)
-        handle = self._tables.get(key)
-        if handle is None:
-            lib = _lib()
-            if lib is None:
-                return None
-            items = list(ranks.items())
-            blob = b"".join(k for k, _ in items)
-            offsets = (ctypes.c_int64 * (len(items) + 1))()
-            pos = 0
-            for i, (k, _) in enumerate(items):
-                offsets[i] = pos
-                pos += len(k)
-            offsets[len(items)] = pos
-            vals = (ctypes.c_int32 * len(items))(*[v for _, v in items])
-            handle = ctypes.c_void_p(
-                lib.qasr_bpe_create(blob, offsets, vals, len(items))
-            )
-            self._tables[key] = handle
+        entry = self._tables.get(id(ranks))
+        if entry is not None and entry[0] is ranks:
+            return entry[1]
+        lib = _lib()
+        if lib is None:
+            return None
+        items = list(ranks.items())
+        blob = b"".join(k for k, _ in items)
+        offsets = (ctypes.c_int64 * (len(items) + 1))()
+        pos = 0
+        for i, (k, _) in enumerate(items):
+            offsets[i] = pos
+            pos += len(k)
+        offsets[len(items)] = pos
+        vals = (ctypes.c_int32 * len(items))(*[v for _, v in items])
+        handle = ctypes.c_void_p(
+            lib.qasr_bpe_create(blob, offsets, vals, len(items))
+        )
+        self._tables[id(ranks)] = (ranks, handle)
         return handle
 
     def merge(self, piece: bytes, ranks: Dict[bytes, int]) -> List[int]:
         lib = _lib()
         table = self._table_for(ranks)
-        n = lib.qasr_bpe_merge(table, piece, len(piece), self._out, 4096)
+        out = self._out_buf()
+        n = lib.qasr_bpe_merge(table, piece, len(piece), out, 4096)
         if n < 0:  # capacity/unknown-byte edge: pure-Python fallback
             from .tokenizer.bpe import _bpe_merge_py
 
             return _bpe_merge_py(piece, ranks)
-        return list(self._out[:n])
+        return list(out[:n])
 
 
 def bpe_handle() -> _BPEHandle:

@@ -107,6 +107,16 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
 
     if file.lower().endswith(".wav"):
         return _load_wav(file, sr)
+    with open(file, "rb") as f:
+        head = f.read(4)
+    if head == b"fLaC":
+        from ._native import native_flac_decode
+
+        with open(file, "rb") as f:
+            data = f.read()
+        decoded = native_flac_decode(data, sr)
+        if decoded is not None:
+            return decoded
     try:
         import soundfile  # type: ignore
 
