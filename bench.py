@@ -65,7 +65,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(repeats):
         r = decode(m, mel, opts)
-        jax.block_until_ready(r[0].audio_features)
+        assert len(r[0].tokens) > 0  # tokens are host-materialized: synced
     dt = time.perf_counter() - t0
 
     audio_sec = batch * 30.0 * repeats

@@ -78,6 +78,11 @@ def build_parser():
                    help="TPU fast path: decode all 30s windows as device "
                         "batches of this size (disables cross-window prompt "
                         "conditioning)")
+    p.add_argument("--prompt_bucket", type=optional_int, default=None,
+                   help="perf opt-in: trim conditioning prompts to a multiple "
+                        "of this many tokens, bounding the set of XLA compile "
+                        "signatures across windows (may change transcripts; "
+                        "None = exact reference prompt handling)")
     return p
 
 

@@ -71,8 +71,9 @@ def prefetch_to_device(iterator, size: int = 2, device=None):
                     lambda x: jax.device_put(x, device), batch
                 )
                 q.put(staged)
-        finally:
             q.put(_END)
+        except BaseException as exc:  # re-raised in the consumer, not dropped
+            q.put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -80,17 +81,33 @@ def prefetch_to_device(iterator, size: int = 2, device=None):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
-def pad_batch_to(batch: Sequence[np.ndarray], batch_size: int):
+def pad_batch_to(
+    batch: Sequence[np.ndarray], batch_size: int, pad_values=None
+):
     """Right-pad a short final batch to the fixed compile-time batch size,
-    returning (padded_batch, real_count) — keeps shapes static under jit."""
+    returning (padded_batch, real_count) — keeps shapes static under jit.
+
+    ``pad_values`` gives one fill per field: a scalar fills the padded rows
+    with that value (use the loss's ignore-index so padded rows contribute
+    ZERO gradient/loss weight — unlike repeating real samples, which would
+    double-count them); ``None`` repeats the last row (pure shape filler for
+    inputs like mels, whose padded rows are masked out via the label field).
+    """
     real = len(batch[0])
     if real == batch_size:
         return tuple(batch), real
+    if pad_values is None:
+        pad_values = (None,) * len(batch)
     padded = []
-    for arr in batch:
-        pad = np.repeat(arr[-1:], batch_size - real, axis=0)
+    for arr, fill in zip(batch, pad_values):
+        if fill is None:
+            pad = np.repeat(arr[-1:], batch_size - real, axis=0)
+        else:
+            pad = np.full((batch_size - real, *arr.shape[1:]), fill, arr.dtype)
         padded.append(np.concatenate([arr, pad], axis=0))
     return tuple(padded), real

@@ -50,12 +50,60 @@ class DecodingOptions:
     # On TPU "fp16" selects bfloat16 (the native half precision); fp32 off it.
     fp16: bool = True
 
-    # Trim conditioning prompts to a multiple of this many tokens so the
-    # jitted decode loop sees a bounded set of shape signatures (each
-    # distinct prompt length is a fresh XLA compile).  Dropping the OLDEST
-    # prompt tokens only shortens context; set None for exact reference
-    # behavior.
-    prompt_bucket: Optional[int] = 64
+    # Perf opt-in: trim conditioning prompts to a multiple of this many
+    # tokens so the jitted decode loop sees a bounded set of shape signatures
+    # (each distinct prompt length is a fresh XLA compile).  Dropping the
+    # OLDEST prompt tokens only shortens context but can change long-form
+    # transcripts; the default None keeps exact reference prompt handling
+    # (whisper/transcribe.py:288-293).  The transcribe CLI exposes this as
+    # --prompt_bucket.
+    prompt_bucket: Optional[int] = None
+
+
+class _LazyFeaturesRow:
+    """One row of a batched on-device feature array, materialized lazily.
+
+    The reference returns a tensor per result (decoding.py:117-127).  Eagerly
+    copying (B, 1500, D) to the host would tax every decode call; indexing
+    the device array per row would pay one transfer per item.  This holder
+    converts the WHOLE batch once, on first host access from any row, and
+    shares it across the batch's results.
+    """
+
+    __slots__ = ("_batch", "_index", "_cell")
+
+    def __init__(self, batch, index: int, cell: list):
+        self._batch = batch
+        self._index = index
+        self._cell = cell  # shared [host_batch or None]
+
+    def _host(self) -> np.ndarray:
+        if self._cell[0] is None:
+            self._cell[0] = np.asarray(self._batch)
+        return self._cell[0][self._index]
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self._host()
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def __getitem__(self, key):
+        return self._host()[key]
+
+    def __len__(self):
+        return self._host().shape[0]
+
+    @property
+    def shape(self):
+        return tuple(self._batch.shape[1:])
+
+    @property
+    def dtype(self):
+        return self._batch.dtype
+
+
+def _lazy_rows(batch, n: int) -> List[_LazyFeaturesRow]:
+    cell = [None]
+    return [_LazyFeaturesRow(batch, i, cell) for i in range(n)]
 
 
 @dataclass(frozen=True)
@@ -318,25 +366,27 @@ class DecodingTask:
             if opts.language is None:
                 init[:, self.sot_index + 1] = np.asarray(lang_tokens)
         if opts.task == "lang_id":
+            rows = _lazy_rows(audio_features, n_audio)
             return [
                 DecodingResult(
-                    audio_features=audio_features[i],  # device array; convert lazily
+                    audio_features=rows[i],
                     language=languages[i],
                     language_probs=language_probs[i],
                 )
                 for i in range(n_audio)
             ]
 
-        if self.n_group == 1:
-            init_rep, xa_rep = init, audio_features
-        else:
-            init_rep = np.repeat(init, self.n_group, axis=0)
-            xa_rep = jnp.repeat(audio_features, self.n_group, axis=0)
-
+        # Hypothesis rows are group-major (audio i, group g) = row i*G+g; the
+        # audio features stay one-row-per-audio — the loops share the cross-KV
+        # across each group instead of replicating it.
+        init_rep = (
+            init if self.n_group == 1
+            else np.repeat(init, self.n_group, axis=0)
+        )
         if opts.beam_size is not None:
-            out = self._run_beam(xa_rep, init_rep)
+            out = self._run_beam(audio_features, init_rep)
         else:
-            out = self._run_greedy(xa_rep, init_rep)
+            out = self._run_greedy(audio_features, init_rep)
         tokens_lists, logprobs_lists, no_speech_probs = out
 
         # slice sampled region and cut at eot
@@ -357,9 +407,10 @@ class DecodingTask:
         sum_logprobs = [lp[i] for i, lp in zip(selected, logprobs_lists)]
         avg_logprobs = [lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)]
 
+        rows = _lazy_rows(audio_features, n_audio)
         return [
             DecodingResult(
-                audio_features=audio_features[i],  # device array; convert lazily
+                audio_features=rows[i],
                 language=languages[i],
                 tokens=tokens[i],
                 text=texts[i],
@@ -371,14 +422,14 @@ class DecodingTask:
             for i in range(n_audio)
         ]
 
-    def _run_greedy(self, xa_rep, init_rep):
+    def _run_greedy(self, xa, init_rep):
         n_rep = init_rep.shape[0]
         n_audio = n_rep // self.n_group
         rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         buf, cur_len, sum_lp, no_speech = _loop.greedy_decode(
             self.model.params,
             self.loop_cfg,
-            xa_rep,
+            xa,
             jnp.asarray(init_rep),
             rng,
             float(self.options.temperature),
@@ -396,7 +447,7 @@ class DecodingTask:
         ]
         return tokens_lists, logprob_lists, no_speech
 
-    def _run_beam(self, xa_rep, init_rep):
+    def _run_beam(self, xa, init_rep):
         K = self.options.beam_size
         patience = self.options.patience or 1.0
         C = max(round(K * patience), 1)
@@ -404,7 +455,7 @@ class DecodingTask:
             _loop.beam_decode(
                 self.model.params,
                 self.loop_cfg,
-                xa_rep,
+                xa,
                 jnp.asarray(init_rep),
                 K,
                 C,
@@ -436,21 +487,27 @@ class DecodingTask:
 
 
 # DecodingTask construction builds vocab-size filter masks on the host;
-# reuse tasks across calls with identical (model, options).  Options with
-# list-valued prompt/prefix are unhashable - those build fresh.
-_TASK_CACHE: Dict = {}
+# reuse tasks across calls with identical (model, options).  The cache lives
+# ON the model object, so it dies with the model — a global cache keyed by
+# id(model) could serve a stale task (wrong dims/filters) to a new model
+# that happens to land at a recycled address.  Options with list-valued
+# prompt/prefix are unhashable - those build fresh.
+_TASK_CACHE_ATTR = "_qasr_task_cache"
 
 
 def _get_task(model_obj, options: DecodingOptions) -> "DecodingTask":
     try:
-        key = (id(model_obj), options)
-        task = _TASK_CACHE.get(key)
+        cache = getattr(model_obj, _TASK_CACHE_ATTR, None)
+        if cache is None:
+            cache = {}
+            setattr(model_obj, _TASK_CACHE_ATTR, cache)
+        task = cache.get(options)
         if task is None:
             task = DecodingTask(model_obj, options)
-            if len(_TASK_CACHE) < 64:
-                _TASK_CACHE[key] = task
+            if len(cache) < 64:
+                cache[options] = task
         return task
-    except TypeError:
+    except (TypeError, AttributeError):  # unhashable options / frozen model
         return DecodingTask(model_obj, options)
 
 

@@ -113,7 +113,10 @@ def evaluate_char_asr(
     )
 
     for batch in loader:
-        (mel, char_ids), real = pad_batch_to(batch, loader.batch_size)
+        # Padded rows are filled with <PAD> targets, so the masked CE gives
+        # them zero weight (the loss matches the unpadded batch exactly).
+        (mel, char_ids), real = pad_batch_to(batch, loader.batch_size,
+                                             (None, PAD))
         losses.append(float(jloss(params, mel, char_ids)))
         enc = embed(params, mel)
         if head_kind == "lstm":
@@ -188,7 +191,8 @@ def train_char_asr(
         t0 = time.time()
         train_losses = []
         for batch in prefetch_to_device(iter(train_loader)):
-            (mel, char_ids), _ = pad_batch_to(batch, train_loader.batch_size)
+            (mel, char_ids), _ = pad_batch_to(batch, train_loader.batch_size,
+                                              (None, PAD))
             state, m = step(state, mel, char_ids)
             train_losses.append(float(m["loss"]))
         entry = {
@@ -222,9 +226,13 @@ def classifier_loss_fn(encoder_apply: Callable) -> Callable:
     def loss(params, mel, labels):
         enc = encoder_apply(params["encoder"], mel)
         logits = clf_model.classifier_apply(params["head"], enc)
-        return jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        # Negative labels mark batch-padding rows; mask them out of the mean
+        # so a padded final batch weights samples exactly once.
+        valid = (labels >= 0).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.maximum(labels, 0)
         )
+        return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
     return loss
 
@@ -310,7 +318,8 @@ def train_classifier(
         t0 = time.time()
         train_losses = []
         for batch in prefetch_to_device(iter(train_loader)):
-            (mel, labels), _ = pad_batch_to(batch, train_loader.batch_size)
+            (mel, labels), _ = pad_batch_to(batch, train_loader.batch_size,
+                                            (None, -1))
             state, m = step(state, mel, labels)
             train_losses.append(float(m["loss"]))
         entry = {
@@ -390,7 +399,8 @@ def train_token_asr(
         t0 = time.time()
         train_losses = []
         for batch in prefetch_to_device(iter(train_loader)):
-            (mel, tokens), _ = pad_batch_to(batch, train_loader.batch_size)
+            (mel, tokens), _ = pad_batch_to(batch, train_loader.batch_size,
+                                            (None, -100))
             state, m = step(state, mel, tokens)
             train_losses.append(float(m["loss"]))
         entry = {
@@ -401,7 +411,8 @@ def train_token_asr(
         if val_loader is not None:
             preds, refs, vlosses = [], [], []
             for batch in val_loader:
-                (mel, tokens), real = pad_batch_to(batch, val_loader.batch_size)
+                (mel, tokens), real = pad_batch_to(batch, val_loader.batch_size,
+                                                   (None, -100))
                 vlosses.append(float(jloss(state.params, mel, tokens)))
                 # Teacher-forced argmax decode, like the reference's
                 # validation (:284-296; optimistic but cheap - documented).

@@ -72,7 +72,7 @@ def main():
         reps = 3
         for _ in range(reps):
             r = decode(m, mel, opts)
-            jax.block_until_ready(r[0].audio_features)
+            assert len(r[0].tokens) > 0  # tokens are host-materialized: synced
         dt = (time.perf_counter() - t0) / reps
         print(f"decode B={B}: {dt * 1e3:8.1f} ms -> "
               f"RTF {B * 30 / dt:8.1f} audio-sec/sec")

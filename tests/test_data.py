@@ -68,3 +68,34 @@ def test_classification_view():
     mel, label = view[0]
     assert mel.shape == (80, 3000)
     assert 0 <= int(label) < 35
+
+
+def test_pad_batch_to_fill_values():
+    from qasr_ijcnlp_tpu.data.loader import pad_batch_to
+
+    mel = np.ones((3, 4), np.float32)
+    labels = np.array([[5, 6], [7, 8], [9, 10]], np.int32)
+    (pmel, plab), real = pad_batch_to((mel, labels), 5, (None, -100))
+    assert real == 3
+    assert pmel.shape == (5, 4) and plab.shape == (5, 2)
+    # inputs repeat the last row (shape filler), labels take the ignore value
+    np.testing.assert_array_equal(pmel[3:], np.ones((2, 4), np.float32))
+    assert (plab[3:] == -100).all()
+    np.testing.assert_array_equal(plab[:3], labels)
+
+
+def test_prefetch_propagates_producer_errors():
+    from qasr_ijcnlp_tpu.data.loader import prefetch_to_device
+
+    def boom():
+        yield np.zeros(2)
+        raise RuntimeError("mid-epoch data error")
+
+    it = prefetch_to_device(boom())
+    next(it)
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "mid-epoch" in str(e)
+    else:
+        raise AssertionError("producer exception was swallowed")

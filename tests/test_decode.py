@@ -176,3 +176,35 @@ def test_best_of_sampling_runs(models):
         best_of=3, sample_len=8,
     )
     assert isinstance(res.text, str)
+
+
+def test_task_cache_is_per_model(models):
+    """Two sequentially-created models never share DecodingTasks, even if one
+    is GC'd and the other lands at the recycled address (the old global
+    id(model)-keyed cache could serve a stale task with the wrong dims)."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, _get_task
+
+    _, jm = models
+    opts = DecodingOptions(fp16=False, language="en", without_timestamps=True)
+    t1 = _get_task(jm, opts)
+    assert _get_task(jm, opts) is t1  # same model: cached
+
+    other = WhisperModel(jm.params, DIMS, name="second-model")
+    t2 = _get_task(other, opts)
+    assert t2 is not t1  # different model object: fresh task
+    assert _get_task(other, opts) is t2
+
+
+def test_audio_features_lazy_single_transfer(models):
+    """DecodingResult.audio_features rows share ONE host conversion of the
+    batched device array (no per-item device->host transfer)."""
+    _, jm = models
+    res = _our_decode(jm, _mel(batch=3, seed=5), without_timestamps=True,
+                      sample_len=4)
+    rows = [r.audio_features for r in res]
+    host0 = np.asarray(rows[0])
+    assert host0.shape == (DIMS.n_audio_ctx, DIMS.n_audio_state)
+    # the holder caches the whole batch in a cell shared across rows
+    assert rows[1]._cell[0] is not None
+    np.testing.assert_array_equal(np.asarray(rows[1]), rows[1]._cell[0][1])
+    assert rows[0].shape == host0.shape
