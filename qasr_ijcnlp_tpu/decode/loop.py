@@ -49,10 +49,19 @@ class LoopConfig(NamedTuple):
 
 
 def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
-    """Encoder features -> cross-kv + prompt logits + no-speech probs."""
+    """Encoder features -> cross-kv + prompt logits + no-speech probs.
+
+    ``audio_features`` has one row per AUDIO; ``initial_tokens`` one row per
+    hypothesis (B_audio * groups, group-major).  The cross-KV is stored once
+    per audio and shared across its group (models/whisper.py
+    ``init_kv_cache``), so beam/best-of decode never replicates — or, each
+    step, re-reads — G copies of the (L, Ta, D) cross cache.
+    """
     B = initial_tokens.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)
-    cache = model.init_kv_cache(cfg.dims, B, dtype)
+    cache = model.init_kv_cache(
+        cfg.dims, B, dtype, cross_batch=audio_features.shape[0]
+    )
     cache = model.precompute_cross_kv(params["decoder"], audio_features, cache)
     logits_all, cache = model.decoder_step(
         params["decoder"], initial_tokens, cache, cfg.dims, dtype
@@ -93,8 +102,8 @@ def _update_ts_state(last, prev, max_ts, next_tok, ts_begin):
 def greedy_decode(
     params,
     cfg: LoopConfig,
-    audio_features: jnp.ndarray,  # (B, Ta, D)
-    initial_tokens: jnp.ndarray,  # (B, sample_begin)
+    audio_features: jnp.ndarray,  # (B_audio, Ta, D)
+    initial_tokens: jnp.ndarray,  # (B_audio * groups, sample_begin)
     rng: jnp.ndarray,
     temperature: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -127,9 +136,12 @@ def greedy_decode(
         (i, buf, cur_len, cache, sum_logprobs, finished, logits, last, prev,
          max_ts, rng) = state
         for j in range(cfg.unroll):
-            # Sub-steps past sample_len (only possible in the final unrolled
-            # iteration) commit nothing: rows act as finished.
-            active = (i + j) < cfg.sample_len
+            # Sub-steps past sample_len or the context limit (only possible
+            # inside an unrolled iteration) commit nothing: rows act as
+            # finished.  This mirrors the exact exit predicate in `cond`.
+            active = ((i + j) < cfg.sample_len) & (
+                cur_len <= cfg.dims.n_text_ctx
+            )
             filtered = apply_filters(
                 cfg.filters, logits, cur_len, last, prev, max_ts
             )
@@ -175,7 +187,7 @@ def greedy_decode(
 def beam_decode(
     params,
     cfg: LoopConfig,
-    audio_features: jnp.ndarray,  # (B*K, Ta, D) - already repeated per beam
+    audio_features: jnp.ndarray,  # (B, Ta, D) - one row per audio
     initial_tokens: jnp.ndarray,  # (B*K, sample_begin)
     beam_size: int,
     max_candidates: int,
@@ -272,8 +284,8 @@ def beam_decode(
         new_tok = new_id.reshape(-1).astype(jnp.int32)
         buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, new_tok)
         # Rearrange only the self-attention cache: beams never cross audio
-        # groups and cross K/V rows are identical within a group, so gathering
-        # the (L, BK, 1500, D) cross cache would be pure wasted bandwidth.
+        # groups, and the cross cache is stored once per AUDIO (not per beam),
+        # so it needs no gather at all.
         cache_g = {
             **cache,
             "self_k": cache["self_k"][:, flat_src],
@@ -288,33 +300,33 @@ def beam_decode(
         sum_logprobs = new_lp.reshape(-1)
 
         # --- append eligible finished candidates (bounded by C) ---
+        # Vectorized bounded-set append (replaces a serial scan over the
+        # K(K+1) candidates): eligible destinations are unique per audio
+        # (eot_rank is a running count), so one scatter commits them all;
+        # ineligible candidates route to an overflow slot C that is dropped.
         elig = s_eot & processed
         eot_rank = jnp.cumsum(elig, axis=-1) - elig.astype(jnp.int32)
         dest = fin_count[:, None] + eot_rank  # (B, K(K+1))
         can_add = elig & (dest < C)
-
-        def add_finished(ft_row, fs_row, buf_rows, lp_row, dest_row, add_row,
-                         par_row):
-            # buf_rows: (K, n_ctx+1) parent buffers *before* this step's write
-            def upd(carry, inp):
-                ft, fs = carry
-                d, add, par, lp = inp
-                seq = buf_rows[par].at[cur_len].set(eot)
-                ft = jax.lax.cond(
-                    add, lambda: ft.at[d].set(seq), lambda: ft
-                )
-                fs = jax.lax.cond(add, lambda: fs.at[d].set(lp), lambda: fs)
-                return (ft, fs), None
-
-            (ft_row, fs_row), _ = jax.lax.scan(
-                upd, (ft_row, fs_row), (dest_row, add_row, par_row, lp_row)
-            )
-            return ft_row, fs_row
+        dest_c = jnp.where(can_add, dest, C)
 
         parent_bufs = state[1].reshape(B, K, n_ctx + 1)  # pre-gather buffers
-        fin_toks, fin_scores = jax.vmap(add_finished)(
-            fin_toks, fin_scores, parent_bufs, s_lp, dest, can_add, s_parent
+        cand_bufs = jnp.take_along_axis(
+            parent_bufs, s_parent[:, :, None], axis=1
+        )  # (B, K(K+1), n_ctx+1): each candidate's parent prefix
+        cand_bufs = cand_bufs.at[:, :, cur_len].set(eot)
+        ft_ext = jnp.concatenate(
+            [fin_toks, jnp.zeros((B, 1, n_ctx + 1), fin_toks.dtype)], axis=1
         )
+        fs_ext = jnp.concatenate(
+            [fin_scores, jnp.zeros((B, 1), fin_scores.dtype)], axis=1
+        )
+        fin_toks = jax.vmap(lambda ft, d, v: ft.at[d].set(v))(
+            ft_ext, dest_c, cand_bufs
+        )[:, :C]
+        fin_scores = jax.vmap(lambda fs, d, v: fs.at[d].set(v))(
+            fs_ext, dest_c, s_lp
+        )[:, :C]
         fin_count = jnp.minimum(fin_count + jnp.sum(elig, axis=-1), C)
 
         step_logits, cache_g = model.decoder_step(

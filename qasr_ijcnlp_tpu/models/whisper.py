@@ -317,12 +317,20 @@ def decoder_apply(
 
 
 def init_kv_cache(
-    dims: ModelDimensions, batch: int, dtype=jnp.float32
+    dims: ModelDimensions, batch: int, dtype=jnp.float32,
+    cross_batch: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape kv-cache pytree for incremental decoding.
 
     Self-attention caches are (L, B, n_text_ctx, D); cross-attention caches
     are filled once per audio segment by :func:`precompute_cross_kv`.
+
+    ``cross_batch`` may be smaller than ``batch`` when ``batch`` is grouped
+    (beam search / best-of sampling decode G hypotheses per audio): the cross
+    K/V is identical across a group, so storing — and, critically, re-reading
+    every token step — one copy per GROUP instead of per row divides the
+    decode loop's dominant HBM stream by G.  ``batch`` must then be
+    ``cross_batch * G`` with group-major row order.
     """
     L, T, D = dims.n_text_layer, dims.n_text_ctx, dims.n_text_state
     Ta = dims.n_audio_ctx
@@ -330,8 +338,8 @@ def init_kv_cache(
     return {
         "self_k": z(L, batch, T, D),
         "self_v": z(L, batch, T, D),
-        "cross_k": z(L, batch, Ta, D),
-        "cross_v": z(L, batch, Ta, D),
+        "cross_k": z(L, cross_batch or batch, Ta, D),
+        "cross_v": z(L, cross_batch or batch, Ta, D),
         "idx": jnp.zeros((), jnp.int32),
     }
 
@@ -349,6 +357,26 @@ def precompute_cross_kv(params: Params, xa: jnp.ndarray, cache: Dict) -> Dict:
     return {**cache, "cross_k": ks, "cross_v": vs}
 
 
+def _grouped_cross_attention(q, k, v, n_head: int, groups: int):
+    """Cross-attention where ``groups`` query rows share each K/V row.
+
+    q: (B*G, T, D); k/v: (B, Ta, D).  Equivalent to attention(q, repeat(k),
+    repeat(v)) but never materializes (or re-reads) the repeated K/V — the
+    beam/best-of decode's cross-KV stream is G× smaller.
+    """
+    BG, T, D = q.shape
+    B = k.shape[0]
+    d_head = D // n_head
+    scale = d_head**-0.25
+    qh = (_split_heads(q, n_head) * scale).reshape(B, groups, n_head, T, d_head)
+    kh = _split_heads(k, n_head) * scale
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bghqd,bhkd->bghqk", qh, kh).astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bghqk,bhkd->bghqd", w, vh)
+    return _merge_heads(out.reshape(BG, n_head, T, d_head))
+
+
 def decoder_step(
     params: Params,
     tokens: jnp.ndarray,
@@ -362,7 +390,9 @@ def decoder_step(
 
     The first call may pass the whole prompt (T_new = prompt length); later
     calls pass a single token (T_new = 1).  All shapes are static; the write
-    offset is dynamic.
+    offset is dynamic.  When the cache's cross batch is smaller than B (see
+    :func:`init_kv_cache`), cross-attention runs grouped without replicating
+    the cross K/V.
     """
     B, T_new = tokens.shape
     n_head = dims.n_text_head
@@ -388,6 +418,7 @@ def decoder_step(
     # 4-D dynamic_update_slice into the carried buffer, which XLA keeps
     # in-place across while_loop iterations.
     self_k, self_v = cache["self_k"], cache["self_v"]
+    groups = B // cache["cross_k"].shape[1]
     zero = jnp.zeros((), jnp.int32)
     for l in range(L):
         bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
@@ -408,10 +439,13 @@ def decoder_step(
 
         xq = layer_norm(x, bp["cross_attn_ln"])
         qc = linear(xq, bp["cross_attn"]["query"])
-        x = x + linear(
-            attention(qc, cache["cross_k"][l], cache["cross_v"][l], n_head),
-            bp["cross_attn"]["out"],
-        )
+        if groups == 1:
+            ca = attention(qc, cache["cross_k"][l], cache["cross_v"][l], n_head)
+        else:
+            ca = _grouped_cross_attention(
+                qc, cache["cross_k"][l], cache["cross_v"][l], n_head, groups
+            )
+        x = x + linear(ca, bp["cross_attn"]["out"])
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
 
     x = layer_norm(x, params["ln"])

@@ -136,3 +136,30 @@ def test_data_parallel_decode_matches_single_device(params):
     sharded = decode(m_sharded, parallel.shard_batch(jnp.asarray(mel), mesh), opts)
     for a, b in zip(base, sharded):
         assert list(a.tokens) == list(b.tokens)
+
+
+def test_data_parallel_beam_decode_matches_single_device(params):
+    """Beam search under a data-sharded batch: per-group gathers stay
+    shard-local (beams never cross audio rows), so tokens must match the
+    single-device run exactly."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+
+    m = WhisperModel(params, DIMS, name="dp-beam-test")
+    mel = np.random.default_rng(9).standard_normal(
+        (8, DIMS.n_mels, DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, fp16=False,
+        beam_size=3,
+    )
+    base = decode(m, jnp.asarray(mel), opts)
+
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=1)
+    m_sharded = WhisperModel(
+        parallel.shard_params(params, mesh), DIMS, name="dp-beam-sharded"
+    )
+    sharded = decode(m_sharded, parallel.shard_batch(jnp.asarray(mel), mesh), opts)
+    for a, b in zip(base, sharded):
+        assert list(a.tokens) == list(b.tokens)
+        assert abs(a.avg_logprob - b.avg_logprob) < 1e-5
