@@ -59,8 +59,13 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     """
     B = initial_tokens.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)
+    # Bound the self cache to the reachable length (prompt + samples + the
+    # unroll overshoot), rounded up for tile alignment: every decode step
+    # streams the whole buffer, so unreachable positions are pure waste.
+    reach = cfg.sample_begin + cfg.sample_len + cfg.unroll + 1
+    ctx = min(cfg.dims.n_text_ctx, (reach + 63) // 64 * 64)
     cache = model.init_kv_cache(
-        cfg.dims, B, dtype, cross_batch=audio_features.shape[0]
+        cfg.dims, B, dtype, cross_batch=audio_features.shape[0], ctx=ctx
     )
     cache = model.precompute_cross_kv(params["decoder"], audio_features, cache)
     logits_all, cache = model.decoder_step(
@@ -288,8 +293,8 @@ def beam_decode(
         # so it needs no gather at all.
         cache_g = {
             **cache,
-            "self_k": cache["self_k"][:, flat_src],
-            "self_v": cache["self_v"][:, flat_src],
+            "self_k": [k[flat_src] for k in cache["self_k"]],
+            "self_v": [v[flat_src] for v in cache["self_v"]],
         }
         last = last[flat_src]
         prev = prev[flat_src]

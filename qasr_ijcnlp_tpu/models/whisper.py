@@ -318,7 +318,7 @@ def decoder_apply(
 
 def init_kv_cache(
     dims: ModelDimensions, batch: int, dtype=jnp.float32,
-    cross_batch: Optional[int] = None,
+    cross_batch: Optional[int] = None, ctx: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape kv-cache pytree for incremental decoding.
 
@@ -331,29 +331,41 @@ def init_kv_cache(
     every token step — one copy per GROUP instead of per row divides the
     decode loop's dominant HBM stream by G.  ``batch`` must then be
     ``cross_batch * G`` with group-major row order.
+
+    Layout: one buffer PER LAYER (lists of (B, T, D)), not a stacked
+    (L, B, T, D) array.  Profiling the decode loop on-chip showed XLA
+    materializing a full (B, Ta, D) copy of each layer's slice of the stacked
+    cross cache inside every loop iteration (~0.8 ms per 88 MB copy at tiny
+    B=64) — per-layer buffers are referenced directly and never copied.
+
+    ``ctx`` bounds the self-attention cache length (default n_text_ctx).
+    Decodes with a known short sample_len pass the actual reachable length:
+    every step streams the WHOLE self cache through the MXU, so a 448-token
+    buffer for a 64-token decode wastes 3× the dominant self-KV traffic.
     """
-    L, T, D = dims.n_text_layer, dims.n_text_ctx, dims.n_text_state
+    L, D = dims.n_text_layer, dims.n_text_state
+    T = min(ctx or dims.n_text_ctx, dims.n_text_ctx)
     Ta = dims.n_audio_ctx
+    Bc = cross_batch or batch
     z = lambda *s: jnp.zeros(s, dtype)
     return {
-        "self_k": z(L, batch, T, D),
-        "self_v": z(L, batch, T, D),
-        "cross_k": z(L, cross_batch or batch, Ta, D),
-        "cross_v": z(L, cross_batch or batch, Ta, D),
+        "self_k": [z(batch, T, D) for _ in range(L)],
+        "self_v": [z(batch, T, D) for _ in range(L)],
+        "cross_k": [z(Bc, Ta, D) for _ in range(L)],
+        "cross_v": [z(Bc, Ta, D) for _ in range(L)],
         "idx": jnp.zeros((), jnp.int32),
     }
 
 
 def precompute_cross_kv(params: Params, xa: jnp.ndarray, cache: Dict) -> Dict:
     """Project encoder output to per-layer cross-attention K/V once."""
-    xa = xa.astype(cache["cross_k"].dtype)
-
-    def layer(_, bp):
-        k = linear(xa, bp["cross_attn"]["key"])
-        v = linear(xa, bp["cross_attn"]["value"])
-        return None, (k, v)
-
-    _, (ks, vs) = jax.lax.scan(layer, None, params["blocks"])
+    L = len(cache["cross_k"])
+    xa = xa.astype(cache["cross_k"][0].dtype)
+    ks, vs = [], []
+    for l in range(L):
+        bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
+        ks.append(linear(xa, bp["cross_attn"]["key"]))
+        vs.append(linear(xa, bp["cross_attn"]["value"]))
     return {**cache, "cross_k": ks, "cross_v": vs}
 
 
@@ -396,7 +408,7 @@ def decoder_step(
     """
     B, T_new = tokens.shape
     n_head = dims.n_text_head
-    Tmax = dims.n_text_ctx
+    Tmax = cache["self_k"][0].shape[1]  # may be < n_text_ctx (bounded decode)
     L = dims.n_text_layer
     offset = cache["idx"]
 
@@ -411,14 +423,15 @@ def decoder_step(
         jnp.float32
     )
 
-    # The layer loop is statically unrolled (not lax.scan): scanning over the
-    # stacked (L, B, T, D) cache would slice and RE-STACK the whole cache
-    # every call - ~4 full-cache copies per decoded token, which dominates
-    # the step at small batch.  With an unrolled loop each layer issues one
-    # 4-D dynamic_update_slice into the carried buffer, which XLA keeps
-    # in-place across while_loop iterations.
-    self_k, self_v = cache["self_k"], cache["self_v"]
-    groups = B // cache["cross_k"].shape[1]
+    # The layer loop is statically unrolled (not lax.scan), and the cache is
+    # a list of PER-LAYER buffers: scanning over (or slicing) a stacked
+    # (L, B, T, D) cache makes XLA materialize whole-layer copies inside the
+    # decode loop (profiled at ~0.8 ms per cross slice at tiny B=64).  With
+    # per-layer buffers each layer does one in-place dynamic_update_slice and
+    # reads its caches with no data movement at all.
+    self_k = list(cache["self_k"])
+    self_v = list(cache["self_v"])
+    groups = B // cache["cross_k"][0].shape[0]
     zero = jnp.zeros((), jnp.int32)
     for l in range(L):
         bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
@@ -426,12 +439,11 @@ def decoder_step(
         q = linear(xn, bp["attn"]["query"])
         k_new = linear(xn, bp["attn"]["key"])
         v_new = linear(xn, bp["attn"]["value"])
-        l_idx = jnp.asarray(l, jnp.int32)
-        self_k = jax.lax.dynamic_update_slice(
-            self_k, k_new[None], (l_idx, zero, offset, zero)
+        self_k[l] = jax.lax.dynamic_update_slice(
+            self_k[l], k_new, (zero, offset, zero)
         )
-        self_v = jax.lax.dynamic_update_slice(
-            self_v, v_new[None], (l_idx, zero, offset, zero)
+        self_v[l] = jax.lax.dynamic_update_slice(
+            self_v[l], v_new, (zero, offset, zero)
         )
         x = x + linear(
             attention(q, self_k[l], self_v[l], n_head, mask), bp["attn"]["out"]
