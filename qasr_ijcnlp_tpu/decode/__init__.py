@@ -434,9 +434,10 @@ class DecodingTask:
             rng,
             float(self.options.temperature),
         )
-        buf = np.asarray(buf)
-        sum_lp = np.asarray(sum_lp)
-        no_speech = np.asarray(no_speech)[:: self.n_group]
+        # One batched device->host fetch (per-array np.asarray costs a round
+        # trip each over a tunneled device link).
+        buf, sum_lp, no_speech = jax.device_get((buf, sum_lp, no_speech))
+        no_speech = no_speech[:: self.n_group]
         tokens_lists = [
             [buf[i * self.n_group + g] for g in range(self.n_group)]
             for i in range(n_audio)
@@ -461,12 +462,11 @@ class DecodingTask:
                 C,
             )
         )
-        beams = np.asarray(beams)
-        beam_scores = np.asarray(beam_scores)
-        fin_toks = np.asarray(fin_toks)
-        fin_scores = np.asarray(fin_scores)
-        fin_count = np.asarray(fin_count)
-        no_speech = np.asarray(no_speech)
+        beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech = (
+            jax.device_get(
+                (beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech)
+            )
+        )
 
         # Finalize (reference BeamSearchDecoder.finalize, decoding.py:384-404):
         # top up with unfinished beams when fewer than beam_size finished.

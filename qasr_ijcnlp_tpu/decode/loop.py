@@ -180,7 +180,11 @@ def greedy_decode(
              finished, logits, last, prev, max_ts, rng)
     state = jax.lax.while_loop(cond, body, state)
     _, buf, cur_len, _, sum_logprobs, _, _, _, _, _, _ = state
-    return buf, cur_len, sum_logprobs, no_speech_probs
+    # Return only the reachable token columns: everything past them is eot
+    # fill, and the host fetches these buffers over a (possibly remote)
+    # device link every decode call.
+    reach = min(cfg.sample_begin + cfg.sample_len + 1, n_ctx + 1)
+    return buf[:, :reach], cur_len, sum_logprobs, no_speech_probs
 
 
 # ---------------------------------------------------------------------------
@@ -347,10 +351,12 @@ def beam_decode(
     state = jax.lax.while_loop(cond, body, state)
     (_, buf, cur_len, _, sum_logprobs, _, fin_toks, fin_scores, fin_count,
      *_rest) = state
+    # Trim to the reachable columns before the host fetch (see greedy_decode).
+    reach = min(cfg.sample_begin + cfg.sample_len + 1, n_ctx + 1)
     return (
-        buf.reshape(B, K, n_ctx + 1),
+        buf.reshape(B, K, n_ctx + 1)[:, :, :reach],
         sum_logprobs.reshape(B, K),
-        fin_toks,
+        fin_toks[:, :, :reach],
         fin_scores,
         fin_count,
         no_speech_probs,
