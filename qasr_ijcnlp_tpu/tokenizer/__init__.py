@@ -140,26 +140,33 @@ class Tokenizer:
     def non_speech_tokens(self) -> Tuple[int, ...]:
         """Token ids of speaker-tag / annotation symbols to suppress.
 
-        Mirrors the reference's curated list (whisper/tokenizer.py:242-275):
-        bracket/symbol tokens and musical-note glyphs, keeping ordinary
-        punctuation; " -" and " '" are suppressed only word-initially.
+        Same curated symbol set as the reference (whisper/tokenizer.py:242-275
+        — the set is a behavioral parity target): bracket/annotation tokens
+        and musical-note glyphs, keeping ordinary punctuation; " -" and " '"
+        are suppressed only word-initially.
         """
-        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
-        symbols += (
-            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
-        )
-        miscellaneous = set("♩♪♫♬♭♮♯")
-        assert all(0x2640 <= ord(c) <= 0x267F for c in miscellaneous)
+        encode = self.encoding.encode
 
-        result = {self.encoding.encode(" -")[0], self.encoding.encode(" '")[0]}
-        for symbol in symbols + list(miscellaneous):
-            for tokens in [
-                self.encoding.encode(symbol),
-                self.encoding.encode(" " + symbol),
-            ]:
-                if len(tokens) == 1 or symbol in miscellaneous:
-                    result.add(tokens[0])
-        return tuple(sorted(result))
+        def leading_ids(symbol: str, keep_multi_token: bool):
+            # the id a transcript would start this symbol with, bare and
+            # space-prefixed; multi-token renderings only count for glyphs
+            # whose first piece is already the symbol (the note marks)
+            for variant in (symbol, " " + symbol):
+                ids = encode(variant)
+                if len(ids) == 1 or keep_multi_token:
+                    yield ids[0]
+
+        annotations = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』') + (
+            "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪"
+        ).split()
+        note_glyphs = "♩♪♫♬♭♮♯"
+
+        ids = {encode(" -")[0], encode(" '")[0]}
+        for sym in annotations:
+            ids.update(leading_ids(sym, keep_multi_token=False))
+        for sym in note_glyphs:
+            ids.update(leading_ids(sym, keep_multi_token=True))
+        return tuple(sorted(ids))
 
     # -- word splitting (for word-level timestamps) -------------------------
 
@@ -171,39 +178,56 @@ class Tokenizer:
         return self.split_tokens_on_spaces(tokens)
 
     def split_tokens_on_unicode(self, tokens: List[int]):
-        decoded_full = self.decode_with_timestamps(tokens)
-        replacement_char = "�"
+        """Regroup ``tokens`` into minimal runs whose bytes decode cleanly.
 
-        words, word_tokens, current_tokens = [], [], []
-        unicode_offset = 0
+        BPE tokens can split multi-byte UTF-8 codepoints; a group is complete
+        once its accumulated bytes no longer end in a truncated codepoint.  A
+        U+FFFD that the FULL decode also shows at the same position is real
+        content (invalid bytes in the stream), not truncation, and completes
+        the group as well.  Works on the byte buffer incrementally — O(bytes)
+        total instead of re-decoding the growing token prefix per token.
+        """
+        repl = "�"
+        full_text = self.decode_with_timestamps(tokens)
+        to_bytes = self.encoding.decode_bytes
+
+        words: List[str] = []
+        groups: List[List[int]] = []
+        pending: List[int] = []
+        buf = b""
+        chars_done = 0
         for token in tokens:
-            current_tokens.append(token)
-            decoded = self.decode_with_timestamps(current_tokens)
-            if (
-                replacement_char not in decoded
-                or decoded_full[unicode_offset + decoded.index(replacement_char)]
-                == replacement_char
-            ):
-                words.append(decoded)
-                word_tokens.append(current_tokens)
-                current_tokens = []
-                unicode_offset += len(decoded)
-        return words, word_tokens
+            pending.append(token)
+            buf += to_bytes([token])
+            text = buf.decode("utf-8", errors="replace")
+            cut = text.find(repl)
+            if cut < 0 or full_text[chars_done + cut] == repl:
+                words.append(text)
+                groups.append(pending)
+                pending, buf = [], b""
+                chars_done += len(text)
+        return words, groups
 
     def split_tokens_on_spaces(self, tokens: List[int]):
-        subwords, subword_tokens_list = self.split_tokens_on_unicode(tokens)
-        words, word_tokens = [], []
-        for subword, subword_tokens in zip(subwords, subword_tokens_list):
-            special = subword_tokens[0] >= self.eot
-            with_space = subword.startswith(" ")
-            punctuation = subword.strip() in string.punctuation
-            if special or with_space or punctuation or len(words) == 0:
-                words.append(subword)
-                word_tokens.append(subword_tokens)
+        """Merge unicode-complete subwords into space-delimited words: a
+        subword STARTS a word iff it is a special token, begins with a space,
+        or is bare punctuation; anything else glues onto the previous word."""
+        words: List[str] = []
+        groups: List[List[int]] = []
+        for piece, ids in zip(*self.split_tokens_on_unicode(tokens)):
+            starts_word = (
+                not words
+                or ids[0] >= self.eot
+                or piece.startswith(" ")
+                or piece.strip() in string.punctuation
+            )
+            if starts_word:
+                words.append(piece)
+                groups.append(list(ids))
             else:
-                words[-1] = words[-1] + subword
-                word_tokens[-1].extend(subword_tokens)
-        return words, word_tokens
+                words[-1] += piece
+                groups[-1] += ids
+        return words, groups
 
 
 @functools.lru_cache(maxsize=None)

@@ -119,3 +119,44 @@ def test_reference_tokenizer_runs_on_our_bpe():
     for text in ["Hello world", " the quick brown fox", "multi\nline\ttext"]:
         assert ref.encode(text) == ours.encode(text)
     assert ref.non_speech_tokens == ours.non_speech_tokens
+
+
+def test_word_split_fuzz_parity_vs_reference():
+    """split_tokens_on_unicode/spaces match the reference exactly on mixed
+    ASCII/CJK/emoji text and on raw token streams that split codepoints."""
+    from tests.oracle import reference_whisper
+
+    reference_whisper()
+    from whisper.tokenizer import get_tokenizer as ref_get_tokenizer
+
+    from qasr_ijcnlp_tpu.tokenizer import get_tokenizer
+
+    ours = get_tokenizer(True, num_languages=99, language="en", task="transcribe")
+    ref = ref_get_tokenizer(True, num_languages=99, language="en",
+                            task="transcribe")
+
+    texts = [
+        "Hello, world! This is a test.",
+        "商品とサービス 中文分词 테스트",
+        "mixed 商品 and English 🙂 with emoji 🎉🎶",
+        " punctuation , . ! ? ... and -- dashes",
+        "don't it's we're (parens) [brackets]",
+    ]
+    samples = [ours.encode(t) for t in texts]
+    # raw byte-level token ids that cut through multibyte codepoints
+    rng = __import__("random").Random(7)
+    samples += [[rng.randrange(200, 50000) for _ in range(40)] for _ in range(5)]
+    # with specials/timestamps interleaved
+    samples += [[ours.sot, *ours.encode("hi 世界"), ours.timestamp_begin + 12,
+                 *ours.encode(" there"), ours.eot]]
+
+    for ids in samples:
+        assert ours.split_tokens_on_unicode(list(ids)) == tuple(
+            ref.split_tokens_on_unicode(list(ids))
+        ) or list(ours.split_tokens_on_unicode(list(ids))) == list(
+            ref.split_tokens_on_unicode(list(ids))
+        )
+        a = ours.split_tokens_on_spaces(list(ids))
+        b = ref.split_tokens_on_spaces(list(ids))
+        assert list(a[0]) == list(b[0])
+        assert [list(g) for g in a[1]] == [list(g) for g in b[1]]
