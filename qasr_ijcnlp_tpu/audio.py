@@ -317,4 +317,28 @@ def log_mel_spectrogram(
     audio = jnp.asarray(audio, dtype=jnp.float32)
     if device is not None:
         audio = jax.device_put(audio, device)
+    if _fused_mel_enabled():
+        from .ops.melfront import fused_log_mel_spectrogram
+
+        fused = lambda a: fused_log_mel_spectrogram(a, n_mels, padding)
+        for _ in range(audio.ndim - 1):
+            fused = jax.vmap(fused)
+        return fused(audio)
     return _log_mel_jit(audio, n_mels, padding)
+
+
+# None = auto: the fused Pallas STFT+mel kernel on a TPU backend (measured
+# 1.3-1.4x over the matmul-DFT XLA path on-chip, scripts/bench_kernels_ab.py),
+# plain XLA elsewhere.  set_fused_mel() overrides.
+_USE_FUSED_MEL: Optional[bool] = None
+
+
+def set_fused_mel(enabled: Optional[bool]) -> None:
+    global _USE_FUSED_MEL
+    _USE_FUSED_MEL = enabled
+
+
+def _fused_mel_enabled() -> bool:
+    if _USE_FUSED_MEL is None:
+        return jax.default_backend() == "tpu"
+    return _USE_FUSED_MEL

@@ -36,17 +36,26 @@ from .dims import ModelDimensions
 
 Params = Dict[str, Any]
 
-# Toggle for the Pallas flash-attention path (TPU only; set by ops.flash).
-_USE_FLASH = False
+# Pallas flash-attention path for the encoder's unmasked self-attention.
+# None = auto: ON for a TPU backend (measured 1.03x tiny -> 1.19x small over
+# XLA attention on-chip, scripts/bench_kernels_ab.py; backward runs through
+# the XLA formulation via custom_vjp), OFF elsewhere.
+_USE_FLASH: Optional[bool] = None
 
 # Rematerialize transformer blocks in the backward pass (trade FLOPs for HBM;
 # enables larger batches / larger family members in training).
 _USE_REMAT = False
 
 
-def set_flash_attention(enabled: bool) -> None:
+def set_flash_attention(enabled: Optional[bool]) -> None:
     global _USE_FLASH
     _USE_FLASH = enabled
+
+
+def _flash_enabled() -> bool:
+    if _USE_FLASH is None:
+        return jax.default_backend() == "tpu"
+    return _USE_FLASH
 
 
 def set_remat(enabled: bool) -> None:
@@ -208,7 +217,10 @@ def attention(
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
 
-    if _USE_FLASH and mask is None:
+    # The kernel's tile shape fits long unmasked query blocks (the encoder's
+    # 1500 frames); short-query cross-attention (decode steps, prompts) would
+    # pad every call to a full 128-row tile, so it stays on the XLA path.
+    if mask is None and qh.shape[2] >= 512 and _flash_enabled():
         from ..ops.flash import flash_attention
 
         out = flash_attention(qh, kh, vh)

@@ -53,13 +53,37 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+@jax.custom_vjp
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused attention: q/k/v (B, H, T, Dh), no mask -> (B, H, T, Dh).
 
     Compiles the Mosaic kernel on TPU; elsewhere runs the same kernel in
     interpreter mode (numerics testing) - enable only on TPU for speed.
+
+    Differentiable: the backward pass is the VJP of the mathematically
+    identical XLA formulation (the kernel saves no softmax residuals), so
+    encoder training works with the kernel on the forward path.
     """
     return _flash_attention(q, k, v, jax.default_backend() != "tpu")
+
+
+def _xla_attention(q, k, v):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def _flash_fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _flash_bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

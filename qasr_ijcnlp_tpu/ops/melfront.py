@@ -46,11 +46,18 @@ def _tables(n_mels: int):
 
 
 def _mel_kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref):
+    # precision=HIGHEST: the DFT/mel matmuls must run in full f32 on the MXU
+    # (the default precision would round operands toward bf16 and break the
+    # <=1e-4 golden parity with torch.stft).
+    hi = jax.lax.Precision.HIGHEST
     frames = frames_ref[:] * win_ref[:]  # (BF, N_FFT) * (1, N_FFT)
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
     power = re * re + im * im  # (BF, n_bins)
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
     out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 

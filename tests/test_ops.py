@@ -54,7 +54,7 @@ def test_encoder_with_flash_matches_without(rng):
     try:
         flash = np.asarray(jmodel.encoder_apply(params["encoder"], mel, dims))
     finally:
-        jmodel.set_flash_attention(False)
+        jmodel.set_flash_attention(None)  # restore auto
     np.testing.assert_allclose(flash, base, atol=5e-5, rtol=1e-4)
 
 
