@@ -41,7 +41,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch, steps, repeats = 64, 64, 3  # batch from scripts/bench_decode_batch.py
+    # Throughput-optimal batch (scan 2026-08-16: B=64 -> 10548, 256 -> 11561,
+    # 512 -> 14945, 768 -> 15163, 1024 -> 14879; the reference is likewise
+    # measured at ITS best batch, 8).
+    batch, steps, repeats = 512, 64, 3
 
     dims = tiny_dims()
     params = model.init_params(jax.random.PRNGKey(0), dims)

@@ -78,6 +78,10 @@ def build_parser():
                    help="TPU fast path: decode all 30s windows as device "
                         "batches of this size (disables cross-window prompt "
                         "conditioning)")
+    p.add_argument("--kv_int8", type=str2bool, default=False,
+                   help="perf opt-in: int8-quantized cross-attention KV cache "
+                        "(fused Pallas decode kernel; halves the dominant "
+                        "decode HBM stream, logits perturbed ~1e-2)")
     p.add_argument("--prompt_bucket", type=optional_int, default=None,
                    help="perf opt-in: trim conditioning prompts to a multiple "
                         "of this many tokens, bounding the set of XLA compile "

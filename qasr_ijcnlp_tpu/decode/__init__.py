@@ -50,6 +50,12 @@ class DecodingOptions:
     # On TPU "fp16" selects bfloat16 (the native half precision); fp32 off it.
     fp16: bool = True
 
+    # Perf opt-in: int8-quantized cross-attention K/V cache via the fused
+    # Pallas decode kernel (ops/decode_attn.py).  Halves the decode loop's
+    # dominant HBM stream; int8 rounding perturbs logits ~1e-2, so tokens
+    # are not guaranteed identical to the fp path.
+    kv_int8: bool = False
+
     # Perf opt-in: trim conditioning prompts to a multiple of this many
     # tokens so the jitted decode loop sees a bounded set of shape signatures
     # (each distinct prompt length is a fresh XLA compile).  Dropping the
@@ -257,6 +263,7 @@ class DecodingTask:
             and self.tokenizer.no_speech < model_obj.dims.n_vocab
             else None,
             compute_dtype=_compute_dtype(options.fp16),
+            kv_int8=options.kv_int8,
         )
 
     # -- option/prompt resolution (reference decoding.py:572-642) -----------

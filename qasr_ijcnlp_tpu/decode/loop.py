@@ -40,6 +40,9 @@ class LoopConfig(NamedTuple):
     timestamp_begin: int
     no_speech: Optional[int]
     compute_dtype: str = "float32"
+    # Store the cross K/V int8-quantized (ops/decode_attn.py): halves the
+    # decode loop's dominant HBM stream; opt-in, not fp-token-exact.
+    kv_int8: bool = False
     # Tokens decoded per while_loop iteration.  The loop-carried math is
     # identical for any value; unrolling amortizes the backend's fixed
     # per-iteration dispatch cost (measured ~3 ms/iteration through the TPU
@@ -65,9 +68,12 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     reach = cfg.sample_begin + cfg.sample_len + cfg.unroll + 1
     ctx = min(cfg.dims.n_text_ctx, (reach + 63) // 64 * 64)
     cache = model.init_kv_cache(
-        cfg.dims, B, dtype, cross_batch=audio_features.shape[0], ctx=ctx
+        cfg.dims, B, dtype, cross_batch=audio_features.shape[0], ctx=ctx,
+        cross_int8=cfg.kv_int8,
     )
-    cache = model.precompute_cross_kv(params["decoder"], audio_features, cache)
+    cache = model.precompute_cross_kv(
+        params["decoder"], audio_features, cache, n_head=cfg.dims.n_text_head
+    )
     logits_all, cache = model.decoder_step(
         params["decoder"], initial_tokens, cache, cfg.dims, dtype
     )

@@ -331,6 +331,7 @@ def decoder_apply(
 def init_kv_cache(
     dims: ModelDimensions, batch: int, dtype=jnp.float32,
     cross_batch: Optional[int] = None, ctx: Optional[int] = None,
+    cross_int8: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-shape kv-cache pytree for incremental decoding.
 
@@ -354,23 +355,63 @@ def init_kv_cache(
     Decodes with a known short sample_len pass the actual reachable length:
     every step streams the WHOLE self cache through the MXU, so a 448-token
     buffer for a 64-token decode wastes 3× the dominant self-KV traffic.
+
+    ``cross_int8`` stores the cross K/V quantized per (head, position) in the
+    T-on-lanes layout consumed by ops/decode_attn.py — the decode loop's
+    dominant HBM stream at half the bytes (opt-in: int8 rounding perturbs
+    logits, so fp-exact token parity is not guaranteed).
     """
     L, D = dims.n_text_layer, dims.n_text_state
     T = min(ctx or dims.n_text_ctx, dims.n_text_ctx)
     Ta = dims.n_audio_ctx
     Bc = cross_batch or batch
     z = lambda *s: jnp.zeros(s, dtype)
-    return {
+    cache = {
         "self_k": [z(batch, T, D) for _ in range(L)],
         "self_v": [z(batch, T, D) for _ in range(L)],
-        "cross_k": [z(Bc, Ta, D) for _ in range(L)],
-        "cross_v": [z(Bc, Ta, D) for _ in range(L)],
         "idx": jnp.zeros((), jnp.int32),
     }
+    if cross_int8:
+        from ..ops.decode_attn import _round_up
+
+        H = dims.n_text_head
+        Tp = _round_up(Ta, 128)
+        Dh = D // H
+        cache["cross_k8"] = [jnp.zeros((Bc, H, Dh, Tp), jnp.int8) for _ in range(L)]
+        cache["cross_sk"] = [jnp.zeros((Bc, H, Tp), jnp.float32) for _ in range(L)]
+        cache["cross_v8"] = [jnp.zeros((Bc, H, Dh, Tp), jnp.int8) for _ in range(L)]
+        cache["cross_sv"] = [jnp.zeros((Bc, H, Tp), jnp.float32) for _ in range(L)]
+    else:
+        cache["cross_k"] = [z(Bc, Ta, D) for _ in range(L)]
+        cache["cross_v"] = [z(Bc, Ta, D) for _ in range(L)]
+    return cache
 
 
-def precompute_cross_kv(params: Params, xa: jnp.ndarray, cache: Dict) -> Dict:
-    """Project encoder output to per-layer cross-attention K/V once."""
+def precompute_cross_kv(
+    params: Params, xa: jnp.ndarray, cache: Dict, n_head: Optional[int] = None
+) -> Dict:
+    """Project encoder output to per-layer cross-attention K/V once.
+
+    With an int8 cache (see :func:`init_kv_cache`), the projections are
+    quantized here — once per audio segment — and the decode loop only ever
+    streams int8 bytes."""
+    if "cross_k8" in cache:
+        from ..ops.decode_attn import quantize_kv
+
+        L = len(cache["cross_k8"])
+        xa = xa.astype(jnp.float32)
+        out = {**cache, "cross_k8": [], "cross_sk": [], "cross_v8": [],
+               "cross_sv": []}
+        H = n_head if n_head is not None else cache["cross_sk"][0].shape[1]
+        for l in range(L):
+            bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
+            k8, sk = quantize_kv(linear(xa, bp["cross_attn"]["key"]), H)
+            v8, sv = quantize_kv(linear(xa, bp["cross_attn"]["value"]), H)
+            out["cross_k8"].append(k8)
+            out["cross_sk"].append(sk)
+            out["cross_v8"].append(v8)
+            out["cross_sv"].append(sv)
+        return out
     L = len(cache["cross_k"])
     xa = xa.astype(cache["cross_k"][0].dtype)
     ks, vs = [], []
@@ -443,7 +484,9 @@ def decoder_step(
     # reads its caches with no data movement at all.
     self_k = list(cache["self_k"])
     self_v = list(cache["self_v"])
-    groups = B // cache["cross_k"][0].shape[0]
+    int8_cross = "cross_k8" in cache
+    cross_rows = (cache["cross_k8"] if int8_cross else cache["cross_k"])[0]
+    groups = B // cross_rows.shape[0]
     zero = jnp.zeros((), jnp.int32)
     for l in range(L):
         bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
@@ -463,7 +506,15 @@ def decoder_step(
 
         xq = layer_norm(x, bp["cross_attn_ln"])
         qc = linear(xq, bp["cross_attn"]["query"])
-        if groups == 1:
+        if int8_cross:
+            from ..ops.decode_attn import int8_cross_attention
+
+            ca = int8_cross_attention(
+                qc, cache["cross_k8"][l], cache["cross_sk"][l],
+                cache["cross_v8"][l], cache["cross_sv"][l], n_head,
+                dims.n_audio_ctx,
+            ).astype(x.dtype)
+        elif groups == 1:
             ca = attention(qc, cache["cross_k"][l], cache["cross_v"][l], n_head)
         else:
             ca = _grouped_cross_attention(

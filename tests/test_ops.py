@@ -78,3 +78,73 @@ def test_fused_mel_with_padding(rng):
     ref = np.asarray(log_mel_spectrogram(audio, padding=N_SAMPLES))
     ours = np.asarray(fused_log_mel_spectrogram(audio, padding=N_SAMPLES))
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_int8_cross_attention_numerics():
+    """The fused int8 kernel matches a plain-JAX dequantized attention given
+    the same quantized operands (exactness of the kernel math itself)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.ops.decode_attn import int8_cross_attention, quantize_kv
+
+    rng = np.random.default_rng(3)
+    B, G, H, Dh, Ta = 2, 3, 4, 64, 200
+    D = H * Dh
+    k = jnp.asarray(rng.standard_normal((B, Ta, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Ta, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B * G, 1, D)), jnp.float32)
+
+    k8, sk = quantize_kv(k, H)
+    v8, sv = quantize_kv(v, H)
+    out = np.asarray(int8_cross_attention(q, k8, sk, v8, sv, H, Ta))
+
+    # reference: dequantize and run ordinary grouped attention in fp32
+    kd = (k8.astype(jnp.float32) * sk[:, :, None, :])[..., :Ta]  # (B,H,Dh,Ta)
+    vd = (v8.astype(jnp.float32) * sv[:, :, None, :])[..., :Ta]
+    qh = (q * Dh ** -0.5).reshape(B, G, H, Dh)
+    logits = jnp.einsum("bghd,bhdt->bght", qh, kd)
+    w = jax.nn.softmax(logits, axis=-1)
+    expect = jnp.einsum("bght,bhdt->bghd", w, vd).reshape(B * G, 1, D)
+    np.testing.assert_allclose(out, np.asarray(expect), atol=2e-5, rtol=1e-5)
+
+
+def test_int8_quantize_roundtrip_error_bound():
+    from qasr_ijcnlp_tpu.ops.decode_attn import quantize_kv
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 100, 128)).astype(np.float32)
+    q8, s = quantize_kv(jnp.asarray(x), 2)
+    deq = np.asarray(q8, np.float32) * np.asarray(s)[:, :, None, :]
+    deq = deq[..., :100]  # unpad
+    xh = x.reshape(2, 100, 2, 64).transpose(0, 2, 3, 1)
+    # symmetric per-(head, position) quantization: error <= scale/2
+    bound = np.asarray(s)[:, :, None, :100] * 0.5 + 1e-7
+    assert (np.abs(deq - xh) <= bound).all()
+
+
+def test_decode_with_kv_int8_runs_and_is_close():
+    """End-to-end greedy decode with the int8 cache: runs, and the selected
+    tokens/logprobs stay close to the fp path on a random tiny model."""
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.models import ModelDimensions, WhisperModel
+    from qasr_ijcnlp_tpu.models import whisper as jmodel
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=50, n_audio_state=64, n_audio_head=2,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=48, n_text_state=64,
+        n_text_head=2, n_text_layer=2,
+    )
+    params = jmodel.init_params(jax.random.PRNGKey(1), dims)
+    m = WhisperModel(params, dims, name="int8-test")
+    mel = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 80, 100)), jnp.float32
+    )
+    kw = dict(language="en", without_timestamps=True, sample_len=8, fp16=False)
+    fp = decode(m, mel, DecodingOptions(**kw))
+    q8 = decode(m, mel, DecodingOptions(kv_int8=True, **kw))
+    for a, b in zip(fp, q8):
+        assert abs(a.avg_logprob - b.avg_logprob) < 0.15
