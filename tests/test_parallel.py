@@ -163,3 +163,104 @@ def test_data_parallel_beam_decode_matches_single_device(params):
     for a, b in zip(base, sharded):
         assert list(a.tokens) == list(b.tokens)
         assert abs(a.avg_logprob - b.avg_logprob) < 1e-5
+
+
+REAL_DIMS = ModelDimensions(
+    # Real tiny widths (384-d, 6 heads, 4 layers, full vocab); time axes
+    # shortened so the virtual CPU mesh stays under XLA:CPU's 40 s
+    # collective-rendezvous timeout (NOTES_ROUND1.md item 4).
+    n_mels=80, n_audio_ctx=96, n_audio_state=384, n_audio_head=6,
+    n_audio_layer=4, n_vocab=51865, n_text_ctx=48, n_text_state=384,
+    n_text_head=6, n_text_layer=4,
+)
+
+
+def test_sharded_training_at_real_widths():
+    """Two sharded train steps at real tiny widths (384-d, 51865 vocab) on a
+    4-device (2 dp x 2 tp) mesh, loss- and param-parity vs single device."""
+    params = cmodel.init_params(jax.random.PRNGKey(1), REAL_DIMS)
+    tx = train.make_optimizer(1e-3)
+    loss_fn = train.whisper_loss_fn(REAL_DIMS)
+
+    mel = np.random.default_rng(4).standard_normal(
+        (4, REAL_DIMS.n_mels, REAL_DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    tokens = np.full((4, REAL_DIMS.n_text_ctx), -100, np.int32)
+    tokens[:, :8] = np.random.default_rng(5).integers(
+        1, REAL_DIMS.n_vocab, (4, 8)
+    )
+
+    ref_state = train.init_state(jax.tree.map(jnp.array, params), tx)
+    ref_step = train.make_train_step(loss_fn, tx)
+    ref_losses = []
+    for _ in range(2):
+        ref_state, m = ref_step(ref_state, jnp.asarray(mel), jnp.asarray(tokens))
+        ref_losses.append(float(m["loss"]))
+
+    mesh = parallel.make_mesh(jax.devices()[:4], model_parallel=2)
+    state = train.shard_state(
+        train.init_state(jax.tree.map(jnp.array, params), tx), mesh
+    )
+    step = train.make_sharded_train_step(loss_fn, tx, mesh)
+    losses = []
+    with mesh:
+        for _ in range(2):
+            state, m = step(state, jnp.asarray(mel), jnp.asarray(tokens))
+            losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-4)
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        ref_state.params,
+    )
+    assert max(jax.tree.leaves(diff)) < 5e-4
+
+
+def test_initialize_distributed_two_process_cpu():
+    """initialize_distributed forms a real 2-process jax.distributed cluster
+    (local CPU coordinator): each process sees the global device count and a
+    psum across the cluster returns the correct total (VERDICT r1 item 10 -
+    this was the only §2.5 path with zero coverage)."""
+    import subprocess
+    import sys
+
+    child = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from qasr_ijcnlp_tpu import parallel
+parallel.initialize_distributed(
+    coordinator_address="127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()  # 2 procs x 2 local
+import jax.numpy as jnp
+from jax.experimental.multihost_utils import process_allgather
+got = process_allgather(jnp.asarray([pid + 1.0]))
+assert float(got.sum()) == 3.0, got  # 1 + 2 across the cluster
+print("proc", pid, "ok")
+"""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = child.format(repo=repo, port=port)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=repo,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
+        assert f"proc {i} ok" in out
