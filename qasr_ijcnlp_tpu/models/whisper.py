@@ -205,21 +205,36 @@ def attention(
     v: jnp.ndarray,
     n_head: int,
     mask: Optional[jnp.ndarray] = None,
+    t_real: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head attention with 4th-root scaling; softmax in fp32.
 
     q: (B, Tq, D), k/v: (B, Tk, D); mask: additive, broadcastable to
-    (B, 1, Tq, Tk) or (Tq, Tk).
+    (B, 1, Tq, Tk) or (Tq, Tk).  ``t_real`` marks keys >= t_real as padding
+    (the encoder runs at a tile-aligned sequence length on TPU).
     """
     d_head = q.shape[-1] // n_head
     scale = d_head**-0.25
+
+    # The kernels' tile shapes fit long unmasked query blocks (the encoder's
+    # 1500 frames); short-query cross-attention (decode steps, prompts) would
+    # pad every call to a full 128-row tile, so it stays on the XLA path.
+    # The packed kernel reads q/k/v exactly as the model holds them -
+    # (B, T, D) - with two 64-wide heads per 128-lane block, so XLA inserts
+    # no transposes or pads around it.
+    if mask is None and q.shape[1] >= 512 and _flash_enabled():
+        from ..ops.flash import flash_attention_packed, packed_applicable
+
+        if packed_applicable(n_head, q.shape[-1]):
+            tr = t_real if t_real is not None else k.shape[1]
+            return flash_attention_packed(
+                q * scale, k * scale, v, n_head, tr
+            ).astype(q.dtype)
+
     qh = _split_heads(q, n_head) * scale
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
 
-    # The kernel's tile shape fits long unmasked query blocks (the encoder's
-    # 1500 frames); short-query cross-attention (decode steps, prompts) would
-    # pad every call to a full 128-row tile, so it stays on the XLA path.
     if mask is None and qh.shape[2] >= 512 and _flash_enabled():
         from ..ops.flash import flash_attention
 
@@ -234,11 +249,11 @@ def attention(
     return _merge_heads(out)
 
 
-def _self_attn(p, x, n_head, mask=None):
+def _self_attn(p, x, n_head, mask=None, t_real=None):
     q = linear(x, p["query"])
     k = linear(x, p["key"])
     v = linear(x, p["value"])
-    return linear(attention(q, k, v, n_head, mask), p["out"])
+    return linear(attention(q, k, v, n_head, mask, t_real=t_real), p["out"])
 
 
 def _mlp(p, x):
@@ -279,13 +294,33 @@ def encoder_apply(
     x = x + params["pos"].astype(x.dtype)
 
     n_head = dims.n_audio_head
+    T = x.shape[1]
+
+    # On TPU, run the transformer stack at a tile-aligned sequence length
+    # (1500 -> 1536): the flash kernel then consumes every layer's (B, T, D)
+    # tensor in place, with zero pads/transposes per layer.  Padding rows mix
+    # with real rows only through attention, where they are masked as keys;
+    # their own (garbage) activations are sliced off at the end.
+    Tp = (T + 127) // 128 * 128
+    if _flash_enabled() and Tp != T and Tp >= 512:
+        # Tp >= 512 mirrors attention()'s packed-kernel gate exactly: padding
+        # is only safe when the kernel (which masks keys >= t_real) consumes
+        # it - the XLA fallback would attend to the garbage padding keys.
+        from ..ops.flash import packed_applicable
+
+        if packed_applicable(n_head, dims.n_audio_state):
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
     def block(x, bp):
-        x = x + _self_attn(bp["attn"], layer_norm(x, bp["attn_ln"]), n_head)
+        x = x + _self_attn(
+            bp["attn"], layer_norm(x, bp["attn_ln"]), n_head, t_real=T
+        )
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
         return x, None
 
     x, _ = jax.lax.scan(_maybe_remat(block), x, params["blocks"])
+    if x.shape[1] != T:
+        x = x[:, :T]
     return layer_norm(x, params["ln_post"])
 
 

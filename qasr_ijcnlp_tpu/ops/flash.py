@@ -29,15 +29,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, Dh)
-    k = k_ref[0].astype(jnp.float32)  # (Tp, Dh)
-    v = v_ref[0].astype(jnp.float32)
+    # The MXU dots run in the input dtype (bf16 on the production path) with
+    # fp32 accumulation - the MXU is a bf16 systolic array, so upcasting the
+    # operands to fp32 here would quarter its throughput (profiled: 32.6 ->
+    # ~9 ms per tiny layer at B=512).  Softmax stays fp32; the probabilities
+    # are cast back to the input dtype for the PV dot, exactly matching the
+    # XLA formulation this kernel replaces (models/whisper.py attention():
+    # ``softmax(logits).astype(q.dtype)``).
+    q = q_ref[0]  # (BQ, Dh)
+    k = k_ref[0]  # (Tp, Dh)
+    v = v_ref[0]
 
     logits = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, Tp)
+    )  # (BQ, Tp) fp32
     if t_real != k.shape[0]:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         logits = jnp.where(col < t_real, logits, -jnp.inf)
@@ -46,7 +53,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p, v,
+        p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / s
@@ -84,6 +91,133 @@ def _flash_bwd(residuals, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernel: heads stay interleaved in the model's (B, T, D) tensor
+# ---------------------------------------------------------------------------
+#
+# The (B, H, T, Dh) interface below forces XLA to materialize three layout
+# transposes and three 1500->1536 pads per layer around the kernel (profiled
+# at ~7 ms of the 15 ms flash path at B=128 - half the cost was plumbing).
+# This variant reads q/k/v exactly as the model holds them - (B, T, D) with
+# D = H*Dh packed on lanes - and grids over PAIRS of 64-wide heads so every
+# block is a full 128-lane tile.  No transpose, no pad, no output slice.
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, dh: int):
+    q2 = q_ref[0]  # (BQ, HB*dh)
+    k2 = k_ref[0]  # (Tkp, HB*dh)
+    v2 = v_ref[0]
+    outs = []
+    for h in range(q2.shape[-1] // dh):
+        qh = q2[:, h * dh:(h + 1) * dh]
+        kh = k2[:, h * dh:(h + 1) * dh]
+        vh = v2[:, h * dh:(h + 1) * dh]
+        logits = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, Tkp) fp32
+        if t_real != k2.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < t_real, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(vh.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / s
+        )
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def packed_applicable(n_head: int, d_model: int) -> bool:
+    dh = d_model // n_head
+    if dh > 128 or 128 % dh:
+        return False
+    return n_head % max(1, 128 // dh) == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_packed(q, k, v, n_head: int, t_real: int):
+    """Fused attention on packed (B, T, D) tensors -> (B, T, D).
+
+    q and k arrive pre-scaled by d_head^-0.25 (as for :func:`flash_attention`).
+    Keys/values at positions >= ``t_real`` are masked out (the caller may run
+    the whole encoder at a tile-aligned padded length); query rows >= t_real
+    compute unmasked garbage the caller slices away.
+    """
+    return _flash_packed(q, k, v, n_head, t_real,
+                         jax.default_backend() != "tpu")
+
+
+def _xla_attention_packed(q, k, v, n_head, t_real):
+    B, T, D = q.shape
+    dh = D // n_head
+    def split(x):
+        return x.reshape(B, -1, n_head, dh).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)).astype(jnp.float32)
+    if t_real != k.shape[1]:
+        logits = jnp.where(jnp.arange(k.shape[1]) < t_real, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, split(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+def _flash_packed_fwd(q, k, v, n_head, t_real):
+    return flash_attention_packed(q, k, v, n_head, t_real), (q, k, v)
+
+
+def _flash_packed_bwd(n_head, t_real, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: _xla_attention_packed(a, b, c, n_head,
+                                                           t_real), q, k, v)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "t_real", "interpret"))
+def _flash_packed(q, k, v, n_head: int, t_real: int, interpret: bool):
+    B, T, D = q.shape
+    Tk = k.shape[1]
+    dh = D // n_head
+    HB = 128 // dh  # heads per 128-lane block
+    assert n_head % HB == 0, "use flash_attention for this head geometry"
+    Tp = _round_up(T, BQ)
+    Tkp = _round_up(Tk, BQ)
+
+    def pad_t(x, L):
+        return jnp.pad(x, ((0, 0), (0, L - x.shape[1]), (0, 0))) \
+            if x.shape[1] != L else x
+
+    qf, kf, vf = pad_t(q, Tp), pad_t(k, Tkp), pad_t(v, Tkp)
+    grid = (B, n_head // HB, Tp // BQ)  # query tiles innermost: k/v blocks
+    # are constant in the fastest grid dim, so Pallas keeps them resident.
+    W = HB * dh  # = 128
+
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, t_real=min(t_real, Tk), dh=dh),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BQ, W), lambda b, hp, i: (b, i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tkp, W), lambda b, hp, i: (b, 0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tkp, W), lambda b, hp, i: (b, 0, hp),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, W), lambda b, hp, i: (b, i, hp),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :T] if Tp != T else out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

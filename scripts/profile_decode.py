@@ -78,6 +78,8 @@ def main():
     steps = 64
     if which in ("greedy", "beam"):
         B = 64 if which == "greedy" else 16
+        if len(sys.argv) > 2:
+            B = int(sys.argv[2])
         K = 5 if which == "beam" else None
         mel = jnp.asarray(rng.standard_normal((B, 80, 3000)), jnp.float32)
         opts = DecodingOptions(
@@ -87,7 +89,7 @@ def main():
         )
         fn = lambda: decode(m, mel, opts)[0].tokens
     elif which == "encoder":
-        B = 64
+        B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
         mel = jnp.asarray(rng.standard_normal((B, 80, 3000)), jnp.float32)
         enc = jax.jit(
             lambda p, x: model.encoder_apply(p, x, dims, jnp.bfloat16)
@@ -111,8 +113,20 @@ def main():
     events = collect_events(logdir)
     total = sum(d for _, d, _ in events)
     print(f"total device event time {total * 1e3:.1f} ms (all reps)")
-    for name, dur, cnt in events[:25]:
+    for name, dur, cnt in events[:40]:
         print(f"{dur * 1e3:9.3f} ms  x{cnt:<6} {name[:100]}")
+
+    # Aggregate by op family (fusion.12 -> fusion) for a traffic overview.
+    import re
+
+    fam = {}
+    for name, dur, cnt in events:
+        key = re.split(r"[.\s(]", name.lstrip("%"), 1)[0]
+        t, c = fam.get(key, (0.0, 0))
+        fam[key] = (t + dur, c + cnt)
+    print("\n-- by family --")
+    for key, (dur, cnt) in sorted(fam.items(), key=lambda x: -x[1][0])[:15]:
+        print(f"{dur * 1e3:9.3f} ms  x{cnt:<6} {key}")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,73 @@ def test_flash_attention_cross_shape(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("t_real", [640, 600])
+def test_flash_packed_matches_plain(rng, t_real):
+    """Packed (B, T, D) kernel vs head-split reference, incl. key masking."""
+    from qasr_ijcnlp_tpu.ops.flash import flash_attention_packed
+
+    B, H, Dh, T = 1, 2, 64, 640
+    D = H * Dh
+    q = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    ours = np.asarray(flash_attention_packed(q, k, v, H, t_real))
+
+    def split(x):
+        return x.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)).astype(jnp.float32)
+    logits = jnp.where(jnp.arange(T) < t_real, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", w, split(v).astype(jnp.float32))
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(B, T, D))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_packed_grad_matches_xla(rng):
+    from qasr_ijcnlp_tpu.ops.flash import (
+        _xla_attention_packed,
+        flash_attention_packed,
+    )
+
+    B, H, Dh, T, t_real = 1, 2, 64, 512, 500
+    D = H * Dh
+    q = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+
+    g1 = jax.grad(lambda a: flash_attention_packed(a, k, v, H, t_real).sum())(q)
+    g2 = jax.grad(lambda a: _xla_attention_packed(a, k, v, H, t_real).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_encoder_padded_flash_matches_unpadded(rng):
+    """Encoder at a tile-aligned padded length (packed kernel path) must match
+    the plain XLA encoder: padding rows are masked as keys and sliced off."""
+    from qasr_ijcnlp_tpu.models import whisper as jmodel
+    from qasr_ijcnlp_tpu.models.dims import ModelDimensions
+
+    # n_audio_ctx 520 -> pads to 640 inside encoder_apply when flash is on
+    # (the pad gate requires the padded length >= 512, attention()'s packed
+    # kernel gate).
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=520, n_audio_state=128, n_audio_head=2,
+        n_audio_layer=2, n_vocab=100, n_text_ctx=16, n_text_state=128,
+        n_text_head=2, n_text_layer=1,
+    )
+    params = jmodel.init_params(jax.random.PRNGKey(0), dims)
+    mel = rng.standard_normal((1, 80, 1040)).astype(np.float32)
+    base = np.asarray(jmodel.encoder_apply(params["encoder"], mel, dims))
+    jmodel.set_flash_attention(True)
+    try:
+        flash = np.asarray(jmodel.encoder_apply(params["encoder"], mel, dims))
+    finally:
+        jmodel.set_flash_attention(None)  # restore auto
+    assert flash.shape == base.shape
+    np.testing.assert_allclose(flash, base, atol=5e-5, rtol=1e-4)
+
+
 def test_encoder_with_flash_matches_without(rng):
     from qasr_ijcnlp_tpu.models import whisper as jmodel
     from qasr_ijcnlp_tpu.models.dims import ModelDimensions
