@@ -358,8 +358,19 @@ class DecodingTask:
         tokenizer = self.tokenizer
         n_audio = mel.shape[0]
         opts = self.options
+        dims = self.model.dims
 
-        audio_features = _audio_features(self.model, mel, opts.fp16)
+        # When the language is known and the input is a raw mel, the encoder
+        # runs INSIDE the decode loop's jit (one program, one dispatch - the
+        # tunneled device link costs ~25 ms per jitted call).  Language
+        # detection needs the features on the host first, so that path keeps
+        # the separate encoder call.
+        is_mel = mel.shape[-2:] != (dims.n_audio_ctx, dims.n_audio_state)
+        fuse_encode = is_mel and opts.language is not None and opts.task != "lang_id"
+
+        audio_features = (
+            None if fuse_encode else _audio_features(self.model, mel, opts.fp16)
+        )
 
         # language detection (overwrites the language slot in sot_sequence)
         languages = [opts.language] * n_audio
@@ -390,11 +401,12 @@ class DecodingTask:
             init if self.n_group == 1
             else np.repeat(init, self.n_group, axis=0)
         )
+        audio_input = mel if fuse_encode else audio_features
         if opts.beam_size is not None:
-            out = self._run_beam(audio_features, init_rep)
+            out = self._run_beam(audio_input, init_rep, fuse_encode)
         else:
-            out = self._run_greedy(audio_features, init_rep)
-        tokens_lists, logprobs_lists, no_speech_probs = out
+            out = self._run_greedy(audio_input, init_rep, fuse_encode)
+        tokens_lists, logprobs_lists, no_speech_probs, audio_features = out
 
         # slice sampled region and cut at eot
         eot = tokenizer.eot
@@ -429,17 +441,22 @@ class DecodingTask:
             for i in range(n_audio)
         ]
 
-    def _run_greedy(self, xa, init_rep):
+    def _is_quantum(self) -> bool:
+        return "qconv1" in self.model.params["encoder"]
+
+    def _run_greedy(self, audio_input, init_rep, fuse_encode: bool = False):
         n_rep = init_rep.shape[0]
         n_audio = n_rep // self.n_group
         rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
-        buf, cur_len, sum_lp, no_speech = _loop.greedy_decode(
+        buf, cur_len, sum_lp, no_speech, xa = _loop.greedy_decode(
             self.model.params,
             self.loop_cfg,
-            xa,
+            audio_input,
             jnp.asarray(init_rep),
             rng,
             float(self.options.temperature),
+            encode=fuse_encode,
+            quantum=fuse_encode and self._is_quantum(),
         )
         # One batched device->host fetch (per-array np.asarray costs a round
         # trip each over a tunneled device link).
@@ -453,20 +470,22 @@ class DecodingTask:
             [float(sum_lp[i * self.n_group + g]) for g in range(self.n_group)]
             for i in range(n_audio)
         ]
-        return tokens_lists, logprob_lists, no_speech
+        return tokens_lists, logprob_lists, no_speech, xa
 
-    def _run_beam(self, xa, init_rep):
+    def _run_beam(self, audio_input, init_rep, fuse_encode: bool = False):
         K = self.options.beam_size
         patience = self.options.patience or 1.0
         C = max(round(K * patience), 1)
-        beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech = (
+        beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech, xa = (
             _loop.beam_decode(
                 self.model.params,
                 self.loop_cfg,
-                xa,
+                audio_input,
                 jnp.asarray(init_rep),
                 K,
                 C,
+                encode=fuse_encode,
+                quantum=fuse_encode and self._is_quantum(),
             )
         )
         beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech = (
@@ -490,7 +509,7 @@ class DecodingTask:
                         break
             tokens_lists.append(seqs)
             logprob_lists.append(scores)
-        return tokens_lists, logprob_lists, no_speech
+        return tokens_lists, logprob_lists, no_speech, xa
 
 
 # DecodingTask construction builds vocab-size filter masks on the host;

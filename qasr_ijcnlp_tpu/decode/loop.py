@@ -51,6 +51,18 @@ class LoopConfig(NamedTuple):
     unroll: int = 4
 
 
+def _encode_audio(params, mel, cfg: LoopConfig, quantum: bool):
+    """Encoder forward inside the decode jit: fusing mel -> features -> token
+    loop into ONE program saves a host round trip per decode call (the
+    tunneled device link costs ~25 ms of dispatch latency per jitted call)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if quantum:
+        from ..models.quantum import quantum_encoder_apply
+
+        return quantum_encoder_apply(params["encoder"], mel, cfg.dims, dtype)
+    return model.encoder_apply(params["encoder"], mel, cfg.dims, dtype)
+
+
 def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     """Encoder features -> cross-kv + prompt logits + no-speech probs.
 
@@ -109,20 +121,28 @@ def _update_ts_state(last, prev, max_ts, next_tok, ts_begin):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature"))
+@partial(jax.jit, static_argnames=("cfg", "temperature", "encode", "quantum"))
 def greedy_decode(
     params,
     cfg: LoopConfig,
-    audio_features: jnp.ndarray,  # (B_audio, Ta, D)
+    audio_input: jnp.ndarray,  # (B_audio, Ta, D) features, or mel if encode
     initial_tokens: jnp.ndarray,  # (B_audio * groups, sample_begin)
     rng: jnp.ndarray,
     temperature: float = 0.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens_buf (B, n_ctx+1), final_len, sum_logprobs, no_speech)."""
+    encode: bool = False,
+    quantum: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Returns (tokens_buf (B, n_ctx+1), final_len, sum_logprobs, no_speech,
+    audio_features).  With ``encode=True``, ``audio_input`` is the (B, n_mels,
+    3000) mel and the encoder runs inside this same program."""
     B = initial_tokens.shape[0]
     n_ctx = cfg.dims.n_text_ctx
     eot = cfg.eot
 
+    audio_features = (
+        _encode_audio(params, audio_input, cfg, quantum) if encode
+        else audio_input
+    )
     cache, logits, no_speech_probs = _prompt_pass(
         params, cfg, audio_features, initial_tokens
     )
@@ -190,7 +210,7 @@ def greedy_decode(
     # fill, and the host fetches these buffers over a (possibly remote)
     # device link every decode call.
     reach = min(cfg.sample_begin + cfg.sample_len + 1, n_ctx + 1)
-    return buf[:, :reach], cur_len, sum_logprobs, no_speech_probs
+    return buf[:, :reach], cur_len, sum_logprobs, no_speech_probs, audio_features
 
 
 # ---------------------------------------------------------------------------
@@ -198,20 +218,23 @@ def greedy_decode(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_candidates"))
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_candidates",
+                                   "encode", "quantum"))
 def beam_decode(
     params,
     cfg: LoopConfig,
-    audio_features: jnp.ndarray,  # (B, Ta, D) - one row per audio
+    audio_input: jnp.ndarray,  # (B, Ta, D) features (or mel if encode)
     initial_tokens: jnp.ndarray,  # (B*K, sample_begin)
     beam_size: int,
     max_candidates: int,
+    encode: bool = False,
+    quantum: bool = False,
 ):
     """Fixed-shape beam search with a bounded finished set.
 
     Returns (beams (B, K, n_ctx+1), beam_scores (B, K),
              finished_tokens (B, C, n_ctx+1), finished_scores (B, C),
-             finished_count (B,), no_speech_probs (B,)).
+             finished_count (B,), no_speech_probs (B,), audio_features).
     """
     K, C = beam_size, max_candidates
     BK = initial_tokens.shape[0]
@@ -219,6 +242,10 @@ def beam_decode(
     n_ctx = cfg.dims.n_text_ctx
     eot = cfg.eot
 
+    audio_features = (
+        _encode_audio(params, audio_input, cfg, quantum) if encode
+        else audio_input
+    )
     cache, logits, no_speech_all = _prompt_pass(
         params, cfg, audio_features, initial_tokens
     )
@@ -366,4 +393,5 @@ def beam_decode(
         fin_scores,
         fin_count,
         no_speech_probs,
+        audio_features,
     )

@@ -9,7 +9,15 @@ production-deployment surface for the TPU build:
   is the right TPU serving shape: the chip sees a constant (B, 80, 3000)
   program at the throughput-optimal batch instead of per-request shapes.
 * :func:`serve` — a dependency-free stdlib HTTP front end:
-    POST /v1/transcribe   body = PCM WAV bytes or JSON {"audio": [...]}
+    POST /v1/transcribe            body = PCM WAV bytes or JSON {"audio": [...]}
+         query params: ``long=1`` (force the long-form pipeline),
+         ``word_timestamps=1`` (word-level timing via cross-attention DTW),
+         ``batch_windows=N`` (batched-window fast path for long audio).
+         Audio longer than 30 s routes to the long-form pipeline
+         automatically; <= 30 s goes through the micro-batcher.
+    POST /v1/transcribe/stream     same body; newline-delimited JSON chunks:
+         {"segments": [...], "progress": seconds} per committed window,
+         then {"done": true, "text": ..., "language": ...}.
     GET  /healthz
 """
 
@@ -143,20 +151,46 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
     return audio
 
 
+def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
+    kwargs = {
+        "word_timestamps": query.get("word_timestamps", ["0"])[0]
+        in ("1", "true"),
+    }
+    bw = query.get("batch_windows", [None])[0]
+    if bw:
+        kwargs["batch_windows"] = int(bw)
+    sl = query.get("sample_len", [None])[0]
+    if sl:
+        kwargs["sample_len"] = int(sl)  # bound per-window decode length
+    if options is not None and options.language:
+        kwargs["language"] = options.language
+    if options is not None and options.task != "transcribe":
+        kwargs["task"] = options.task
+    return kwargs
+
+
 def serve(model, host: str = "127.0.0.1", port: int = 8077,
           batch_size: int = 16, max_wait_ms: float = 25.0,
           options: Optional[DecodingOptions] = None, block: bool = True):
     """Start the HTTP transcription service; returns (server, transcriber)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from .transcribe import transcribe as _long_transcribe
 
     transcriber = BatchingTranscriber(model, batch_size, max_wait_ms, options)
+    # Long-form requests drive the device directly (window-by-window shapes);
+    # serialize them so concurrent streams don't interleave compile churn.
+    long_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked streaming responses
+
         def log_message(self, *args):
             pass
 
         def _send(self, code: int, payload: dict):
-            body = json.dumps(payload).encode()
+            body = json.dumps(payload, default=float).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -169,23 +203,74 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             else:
                 self._send(404, {"error": "not found"})
 
-        def do_POST(self):
-            if self.path != "/v1/transcribe":
-                self._send(404, {"error": "not found"})
-                return
+        def _read_audio(self) -> np.ndarray:
             length = int(self.headers.get("Content-Length", 0))
             data = self.rfile.read(length)
-            try:
-                ctype = self.headers.get("Content-Type", "")
-                if "json" in ctype:
-                    audio = np.asarray(
-                        json.loads(data)["audio"], np.float32
+            ctype = self.headers.get("Content-Type", "")
+            if "json" in ctype:
+                return np.asarray(json.loads(data)["audio"], np.float32)
+            return _decode_wav_bytes(data)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            query = parse_qs(url.query)
+            if url.path == "/v1/transcribe":
+                try:
+                    audio = self._read_audio()
+                    force_long = (
+                        query.get("long", ["0"])[0] in ("1", "true")
+                        or query.get("word_timestamps", ["0"])[0]
+                        in ("1", "true")
+                        or "batch_windows" in query
                     )
-                else:
-                    audio = _decode_wav_bytes(data)
-                self._send(200, transcriber.transcribe(audio))
-            except Exception as e:
-                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    if force_long or len(audio) > 30 * 16000:
+                        with long_lock:
+                            result = _long_transcribe(
+                                transcriber.model, audio,
+                                **_long_form_kwargs(options, query),
+                            )
+                        self._send(200, result)
+                    else:
+                        self._send(200, transcriber.transcribe(audio))
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            elif url.path == "/v1/transcribe/stream":
+                try:
+                    audio = self._read_audio()
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def emit(obj):
+                    line = (json.dumps(obj, default=float) + "\n").encode()
+                    self.wfile.write(
+                        f"{len(line):x}\r\n".encode() + line + b"\r\n"
+                    )
+                    self.wfile.flush()
+
+                try:
+                    with long_lock:
+                        result = _long_transcribe(
+                            transcriber.model, audio,
+                            on_segments=lambda segs, prog: emit(
+                                {"segments": segs, "progress": prog}
+                            ),
+                            **_long_form_kwargs(options, query),
+                        )
+                    emit({
+                        "done": True,
+                        "text": result["text"],
+                        "language": result["language"],
+                    })
+                except Exception as e:
+                    emit({"error": f"{type(e).__name__}: {e}"})
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                self._send(404, {"error": "not found"})
 
     server = ThreadingHTTPServer((host, port), Handler)
     if block:

@@ -83,6 +83,9 @@ class _Session:
         ) = thresholds
         self.all_tokens: List[int] = []
         self.all_segments: List[dict] = []
+        # Streaming hook: called with (newly committed segments, progress
+        # seconds) after every window commit (serving's chunked endpoint).
+        self.on_segments = None
         self.prompt_reset_since = 0
         self.last_speech_timestamp = 0.0
         self.seek = 0
@@ -204,6 +207,7 @@ class _Session:
                 segment["text"] = ""
                 segment["tokens"] = []
                 segment["words"] = []
+        n0 = len(self.all_segments)
         self.all_segments.extend(
             {"id": i, **seg}
             for i, seg in enumerate(segments, start=len(self.all_segments))
@@ -211,6 +215,10 @@ class _Session:
         self.all_tokens.extend(t for seg in segments for t in seg["tokens"])
         if not condition_on_previous_text or temperature > 0.5:
             self.prompt_reset_since = len(self.all_tokens)
+        if self.on_segments is not None and len(self.all_segments) > n0:
+            self.on_segments(
+                self.all_segments[n0:], self.seek * HOP_LENGTH / SAMPLE_RATE
+            )
 
 
 def _transcribe_batched(
@@ -301,6 +309,7 @@ def transcribe(
     clip_timestamps: Union[str, List[float]] = "0",
     hallucination_silence_threshold: Optional[float] = None,
     batch_windows: Union[bool, int] = False,
+    on_segments=None,
     **decode_options,
 ) -> dict:
     """Transcribe audio of any length (reference transcribe.py:38-514).
@@ -314,6 +323,11 @@ def transcribe(
     fixed window boundaries; per-window temperature fallback still applies
     (failed windows are re-decoded individually).  An int >= 2, or True for
     batches of 64.
+
+    ``on_segments(new_segments, progress_seconds)`` is called after every
+    committed window - the streaming hook used by serving's chunked
+    /v1/transcribe/stream endpoint (the reference has no streaming story;
+    its closest analog is the verbose per-segment print, transcribe.py:277).
     """
     # 30 s of zero padding on the right so the last window is full-size.
     mel = np.asarray(
@@ -371,6 +385,7 @@ def transcribe(
         temperatures,
         (compression_ratio_threshold, logprob_threshold, no_speech_threshold),
     )
+    session.on_segments = on_segments
 
     remaining_prompt_length = model.dims.n_text_ctx // 2 - 1
     if initial_prompt is not None:

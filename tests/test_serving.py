@@ -120,3 +120,55 @@ def test_http_server(small_model):
     finally:
         server.shutdown()
         transcriber.close()
+
+
+def test_http_long_form_and_streaming(small_model):
+    """Long-form routing (word_timestamps) + chunked streaming endpoint."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False,
+        options=DecodingOptions(language="en", without_timestamps=True,
+                                sample_len=4),
+    )
+    port = server.server_address[1]
+    try:
+        # word_timestamps=1 forces the long-form pipeline even on short audio
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe"
+            "?word_timestamps=1&sample_len=8",
+            data=json.dumps({"audio": _audio(seed=5, seconds=2.0).tolist()}
+                            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.load(r)
+        assert set(out) >= {"text", "segments", "language"}
+        for seg in out["segments"]:
+            assert "words" in seg
+            for w in seg["words"]:
+                assert set(w) >= {"word", "start", "end", "probability"}
+
+        # streaming: 35 s -> 2 windows; newline-delimited JSON chunks ending
+        # with a done event carrying the final text
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe/stream?sample_len=8",
+            data=json.dumps(
+                {"audio": _audio(seed=6, seconds=35.0).tolist()}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        events = []
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers.get("Content-Type") == "application/x-ndjson"
+            for line in r:
+                events.append(json.loads(line))
+        assert events, "no stream events received"
+        assert events[-1].get("done") is True and "text" in events[-1]
+        for ev in events[:-1]:
+            assert "segments" in ev and "progress" in ev
+            assert all("text" in s for s in ev["segments"])
+    finally:
+        server.shutdown()
+        transcriber.close()

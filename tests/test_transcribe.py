@@ -155,6 +155,31 @@ def test_transcribe_word_timestamps_smoke(tiny_model):
             assert 0.0 <= w["probability"] <= 1.0
 
 
+def test_transcribe_on_segments_streams_each_window(tiny_model):
+    """The streaming hook fires once per committed window with the same
+    segments that end up in the final result, in order."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    events = []
+    result = transcribe(
+        tiny_model,
+        _synthetic_speechish_audio(35.0, seed=2),  # 2 windows
+        language="en",
+        temperature=0.0,
+        sample_len=8,
+        condition_on_previous_text=False,
+        no_speech_threshold=None,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+        on_segments=lambda segs, progress: events.append((segs, progress)),
+    )
+    assert len(events) >= 2  # one commit per 30 s window
+    streamed = [s for segs, _ in events for s in segs]
+    assert streamed == result["segments"]
+    progresses = [p for _, p in events]
+    assert progresses == sorted(progresses)
+
+
 def test_transcribe_batch_windows_matches_structure(tiny_model):
     """The batched fast path yields the same per-window segmentation as the
     sequential loop when conditioning is off and gates are disabled."""
