@@ -297,11 +297,36 @@ def encoder_apply(
     T = x.shape[1]
 
     # On TPU, run the transformer stack at a tile-aligned sequence length
-    # (1500 -> 1536): the flash kernel then consumes every layer's (B, T, D)
+    # (1500 -> 1536): the Pallas kernels then consume every layer's (B, T, D)
     # tensor in place, with zero pads/transposes per layer.  Padding rows mix
     # with real rows only through attention, where they are masked as keys;
     # their own (garbage) activations are sliced off at the end.
     Tp = (T + 127) // 128 * 128
+
+    # Preferred path: the whole block as two Pallas kernels (LN + QKV +
+    # attention + out-proj + residual; LN + MLP + residual) — row-major I/O
+    # end to end, so the scan carry never changes layout and the per-layer
+    # transpose fusions disappear (see ops/encoder_block.py header).
+    from ..ops.encoder_block import fused_block_applicable, fused_encoder_block
+
+    use_fused = (
+        _flash_enabled()
+        and Tp >= 512
+        and fused_block_applicable(n_head, dims.n_audio_state, Tp)
+        and (x.dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
+    )
+    if use_fused:
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+        def block(x, bp):
+            return fused_encoder_block(x, bp, n_head, T), None
+
+        x, _ = jax.lax.scan(_maybe_remat(block), x, params["blocks"])
+        if x.shape[1] != T:
+            x = x[:, :T]
+        return layer_norm(x, params["ln_post"])
+
     if _flash_enabled() and Tp != T and Tp >= 512:
         # Tp >= 512 mirrors attention()'s packed-kernel gate exactly: padding
         # is only safe when the kernel (which masks keys >= t_real) consumes

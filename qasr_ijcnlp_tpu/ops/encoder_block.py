@@ -1,0 +1,354 @@
+"""Fully fused encoder transformer block (two Pallas kernels per layer).
+
+Round-2 profiling of the encoder at production batch (scripts/
+profile_decode.py encoder 512) showed the per-layer cost split ~28.6 ms in
+the flash attention kernel (18k grid cells of ~1.5 us: grid-step bound) and
+~26.7 ms in XLA "add_add" fusions that were really layout transposes — the
+scan carry lived T-on-lanes ({1,2,0}) while the Pallas kernel consumed
+row-major (B, T, D), so every layer paid two 604 MB transposes.  Total:
+~66 ms/layer against a ~12 ms MXU floor.
+
+This module replaces the whole block
+
+    x + out_proj(attn(LN(x)))  ->  + mlp_proj(gelu(mlp_fc(LN(..))))
+
+with two kernels whose every input and output is the model's own row-major
+(B, T, D) tensor:
+
+* ``_attn_kernel``: grid (B, H) — one cell owns one (batch item, head).
+  LN and that head's q/k/v projections happen in VMEM (the per-head weight
+  column slices mean the total projection FLOPs are unchanged; only the
+  cheap LN is recomputed per head), then a ``fori_loop`` over query tiles
+  runs softmax(QK^T)V without the (T, T) logits matrix ever reaching HBM.
+  The input block index is constant in the head dimension, so Pallas keeps
+  x resident — one fetch per batch item.
+* ``_finish_kernel``: grid (B, T/MT) row tiles — attention out-projection,
+  residual, LN, fc, exact (erf) gelu, proj, residual.
+
+Between two Pallas kernels XLA has nothing to re-layout, so the transpose
+fusions disappear as well.
+
+Replaces: torch SDPA + block module of the reference
+(/root/reference/whisper/whisper/model.py:111-146) on the TPU encoder path.
+Backward: custom VJP through the mathematically identical XLA formulation
+(same trick as ops/flash.py), so training runs with the fused forward.
+
+Applicability (checked by :func:`fused_block_applicable`): D % 128 == 0 and
+d_head in {64, 128}; covers every Whisper family member (all have dh=64).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128   # query-tile rows inside the attention kernel
+MT = 512   # row tile of the finish (out-proj + MLP) kernel
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
+    dh = d_model // n_head
+    return (
+        d_model % 128 == 0
+        # tiny/base; above that the finish kernel's resident (D, 4D) MLP
+        # weights outgrow VMEM (small+ would need an F-tiled finish kernel).
+        and d_model <= 512
+        # heads must tile into 128-lane groups
+        and (dh == 128 or (dh == 64 and n_head % 2 == 0))
+        and t_pad % MT == 0
+        and t_pad % BQ == 0
+    )
+
+
+def _erf_f32(x):
+    """erf for the Mosaic kernel (no erf/erfc primitive): Abramowitz-Stegun
+    7.1.26 rational approximation, max abs error 1.5e-7 — far below bf16
+    resolution, so the fused block's gelu matches the XLA exact-erf gelu."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    xf = x.astype(jnp.float32)
+    half = xf * 0.5
+    inner = xf * jnp.float32(0.7071067811865476)
+    return (half * (1.0 + _erf_f32(inner))).astype(x.dtype)
+
+
+def _ln_f32(x, g, b, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g + b).astype(x.dtype)
+
+
+def _attn_kernel(
+    x_ref, mask_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
+    o_ref, q_s, ve_s, *, t_real: int, dh: int, bq: int = BQ,
+    unroll: int = 1,
+):
+    """One (batch item, 128-lane head group): softmax(qh kh^T) vh, all rows.
+
+    A group is 128 // dh heads (2 for every Whisper member, dh=64), so every
+    weight/output block is a full 128-lane tile.
+
+    VPU economy (the kernel is softmax-bound at dh=64, where the MXU dots
+    cost only ~128 FLOPs per logit element):
+    * the key-padding mask arrives as a precomputed additive (1, Tp) row
+      (``mask_ref``) — one fused add instead of iota+compare+select per tile;
+    * V is augmented with a ones-column block (``ve_s``), so the softmax
+      denominator falls out of the same MXU dot as PV — lanes dh..2dh of the
+      product are sum(p) — replacing a multi-pass cross-lane reduction.
+    """
+    x = x_ref[0]                       # (Tp, D)
+    Tp, D = x.shape
+    W = o_ref.shape[-1]                # 128
+    scale = x.dtype.type(float(dh) ** -0.25)
+
+    h = _ln_f32(x, g_ref[:], b_ref[:])
+    # This group's projections; weight blocks are (D, W) column slices, so
+    # summed over the grid cells the projection FLOPs equal the full (D, D)
+    # projections of the unfused path.
+    kk = (
+        jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) * scale
+    )                                   # (Tp, W)
+    vv = (
+        jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bv_ref[:]
+    )
+    q_s[:] = (
+        jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bq_ref[:]
+    ) * scale                           # (Tp, W)
+
+    HB = W // dh
+    ones = jnp.ones((Tp, dh), x.dtype)
+    for hi in range(HB):
+        ve_s[:, 2 * hi * dh:(2 * hi + 1) * dh] = (
+            vv[:, hi * dh:(hi + 1) * dh]
+        )
+        ve_s[:, (2 * hi + 1) * dh:(2 * hi + 2) * dh] = ones
+
+    def tile(qt, _):
+        for hi in range(HB):
+            qh = q_s[pl.ds(qt * bq, bq), hi * dh:(hi + 1) * dh]
+            kh = kk[:, hi * dh:(hi + 1) * dh]
+            logits = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, Tp) f32
+            if t_real != Tp:
+                logits = logits + mask_ref[:]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = (jnp.exp(logits - m)).astype(x.dtype)
+            ve = ve_s[:, 2 * hi * dh:2 * (hi + 1) * dh]  # [vh | ones]
+            pv = jax.lax.dot_general(
+                p, ve,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, 2*dh): [p@vh | sum(p) broadcast]
+            out = pv[:, :dh] / pv[:, dh:dh + 1]
+            o_ref[0, pl.ds(qt * bq, bq), hi * dh:(hi + 1) * dh] = (
+                out.astype(x.dtype)
+            )
+        return 0
+
+    jax.lax.fori_loop(0, Tp // bq, tile, 0, unroll=unroll)
+
+
+def _finish_kernel(
+    x_ref, attn_ref, wo_ref, bo_ref, g_ref, b_ref, wf_ref, bf_ref,
+    wp_ref, bp_ref, o_ref,
+):
+    """Row tile: out-projection + residual, then LN + MLP + residual."""
+    x = x_ref[0]                       # (MT, D)
+    r = x + (
+        jnp.dot(attn_ref[0], wo_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bo_ref[:]
+    )
+    h = _ln_f32(r, g_ref[:], b_ref[:])
+    t = _gelu_exact(
+        jnp.dot(h, wf_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bf_ref[:]
+    )
+    o_ref[0] = r + (
+        jnp.dot(t, wp_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bp_ref[:]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "t_real", "interpret", "bq", "unroll"),
+)
+def _fused_block_impl(
+    x, bp, n_head: int, t_real: int, interpret: bool,
+    bq: int = BQ, unroll: int = 1,
+):
+    B, Tp, D = x.shape
+    dt = x.dtype
+    dh = D // n_head
+    a = bp["attn"]
+    w = lambda p: p.astype(dt)
+
+    W = 128                     # lanes per head group
+    HB = W // dh                # heads per group
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, h: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    # per-group (D, 128) weight column block / (1, 128) bias block
+    headw = lambda: pl.BlockSpec((D, W), lambda b, h: (0, h),
+                                 memory_space=pltpu.VMEM)
+    headb = lambda: pl.BlockSpec((1, W), lambda b, h: (0, h),
+                                 memory_space=pltpu.VMEM)
+
+    mask = jnp.where(jnp.arange(Tp) < t_real, 0.0, -jnp.inf).astype(
+        jnp.float32
+    ).reshape(1, Tp)
+    attn = pl.pallas_call(
+        functools.partial(_attn_kernel, t_real=t_real, dh=dh, bq=bq,
+                          unroll=unroll),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
+        grid=(B, n_head // HB),
+        in_specs=[
+            pl.BlockSpec((1, Tp, D), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, Tp)),                    # additive key mask (f32)
+            const((1, D)), const((1, D)),      # ln g, b (f32)
+            headw(), headb(),                  # wq cols, bq
+            headw(),                           # wk cols
+            headw(), headb(),                  # wv cols, bv
+        ],
+        out_specs=pl.BlockSpec((1, Tp, W), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Tp, W), dt),
+                        pltpu.VMEM((Tp, 2 * W), dt)],
+        interpret=interpret,
+    )(
+        x, mask,
+        bp["attn_ln"]["g"].reshape(1, D).astype(jnp.float32),
+        bp["attn_ln"]["b"].reshape(1, D).astype(jnp.float32),
+        w(a["query"]["w"]), w(a["query"]["b"].reshape(1, D)),
+        w(a["key"]["w"]),
+        w(a["value"]["w"]), w(a["value"]["b"].reshape(1, D)),
+    )
+
+    m = bp["mlp"]
+    F = m["fc"]["w"].shape[1]
+    tconst = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    row = lambda: pl.BlockSpec((1, MT, D), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _finish_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
+        grid=(B, Tp // MT),
+        in_specs=[
+            row(), row(),                       # x, attn
+            tconst((D, D)), tconst((1, D)),     # wo, bo
+            tconst((1, D)), tconst((1, D)),     # mlp ln g, b
+            tconst((D, F)), tconst((1, F)),     # fc
+            tconst((F, D)), tconst((1, D)),     # proj
+        ],
+        out_specs=row(),
+        interpret=interpret,
+    )(
+        x, attn,
+        w(a["out"]["w"]), w(a["out"]["b"].reshape(1, D)),
+        bp["mlp_ln"]["g"].reshape(1, D).astype(jnp.float32),
+        bp["mlp_ln"]["b"].reshape(1, D).astype(jnp.float32),
+        w(m["fc"]["w"]), w(m["fc"]["b"].reshape(1, F)),
+        w(m["proj"]["w"]), w(m["proj"]["b"].reshape(1, D)),
+    )
+    return out
+
+
+def _xla_block(x, bp, n_head: int, t_real: int):
+    """Reference XLA formulation of the same block (used for the backward
+    pass and as the numerics oracle in tests)."""
+    B, Tp, D = x.shape
+    dh = D // n_head
+    scale = dh ** -0.25
+    dt = x.dtype
+
+    def lin(h, p):
+        y = h @ p["w"].astype(dt)
+        if "b" in p:
+            y = y + p["b"].astype(dt)
+        return y
+
+    def ln(h, p):
+        return _ln_f32(h, p["g"].astype(jnp.float32),
+                       p["b"].astype(jnp.float32))
+
+    h = ln(x, bp["attn_ln"])
+    q = lin(h, bp["attn"]["query"]) * dt.type(scale)
+    k = lin(h, bp["attn"]["key"]) * dt.type(scale)
+    v = lin(h, bp["attn"]["value"])
+
+    def split(z):
+        return z.reshape(B, Tp, n_head, dh).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)).astype(
+        jnp.float32
+    )
+    if t_real != Tp:
+        logits = jnp.where(jnp.arange(Tp) < t_real, logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(dt)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", w, split(v))
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, Tp, D)
+    x = x + lin(attn, bp["attn"]["out"])
+    h = ln(x, bp["mlp_ln"])
+    t = jax.nn.gelu(lin(h, bp["mlp"]["fc"]), approximate=False)
+    return x + lin(t, bp["mlp"]["proj"])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_encoder_block(x, bp, n_head: int, t_real: int):
+    """One whole encoder transformer block, fused: (B, Tp, D) -> (B, Tp, D).
+
+    ``bp`` is the per-layer parameter pytree (models/whisper.py _init_block
+    layout).  Keys at positions >= ``t_real`` are masked; query rows past it
+    compute garbage the caller slices away.
+    """
+    D, Tp = x.shape[-1], x.shape[1]
+    # Bigger query tiles amortize per-iteration overhead (measured 62.5 ->
+    # 55.1 ms/block at B=512 tiny); at D=512 the f32 logits tile plus block
+    # buffers get close to VMEM, so base stays at 256 rows.
+    bq = 512 if (D <= 384 and Tp % 512 == 0) else (
+        256 if Tp % 256 == 0 else BQ
+    )
+    return _fused_block_impl(
+        x, bp, n_head, t_real, jax.default_backend() != "tpu", bq=bq
+    )
+
+
+def _fused_fwd(x, bp, n_head, t_real):
+    return fused_encoder_block(x, bp, n_head, t_real), (x, bp)
+
+
+def _fused_bwd(n_head, t_real, res, g):
+    x, bp = res
+    _, vjp = jax.vjp(lambda a, b: _xla_block(a, b, n_head, t_real), x, bp)
+    return vjp(g)
+
+
+fused_encoder_block.defvjp(_fused_fwd, _fused_bwd)

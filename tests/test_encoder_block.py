@@ -1,0 +1,94 @@
+"""Fused encoder block kernels (ops/encoder_block.py) vs the XLA oracle.
+
+Runs in Pallas interpreter mode on CPU (the kernels compile for real only on
+a TPU backend).  The oracle `_xla_block` is itself pinned against the
+model's unfused block path, so kernel == oracle == production numerics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qasr_ijcnlp_tpu.models import whisper as model
+from qasr_ijcnlp_tpu.models.dims import tiny_dims
+from qasr_ijcnlp_tpu.ops.encoder_block import (
+    _xla_block,
+    fused_block_applicable,
+    fused_encoder_block,
+)
+
+
+@pytest.fixture(scope="module")
+def block_params():
+    return model._init_block(jax.random.PRNGKey(0), 384, cross_attention=False)
+
+
+def test_applicability():
+    assert fused_block_applicable(6, 384, 1536)      # tiny
+    assert fused_block_applicable(8, 512, 1536)      # base
+    assert not fused_block_applicable(12, 768, 1536)  # small: VMEM gate
+    assert not fused_block_applicable(6, 384, 1000)   # non-tile-aligned
+
+
+def test_fused_block_matches_xla_f32(block_params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 512, 384), jnp.float32)
+    y_k = fused_encoder_block(x, block_params, 6, 500)
+    y_x = _xla_block(x, block_params, 6, 500)
+    np.testing.assert_allclose(
+        np.asarray(y_k[:, :500]), np.asarray(y_x[:, :500]), atol=2e-5
+    )
+
+
+def test_fused_block_matches_xla_bf16(block_params):
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 512, 384), jnp.bfloat16)
+    y_k = fused_encoder_block(x, block_params, 6, 500).astype(jnp.float32)
+    y_x = _xla_block(x, block_params, 6, 500).astype(jnp.float32)
+    # bf16 rounding-order differences only
+    np.testing.assert_allclose(
+        np.asarray(y_k[:, :500]), np.asarray(y_x[:, :500]), atol=0.08
+    )
+
+
+def test_fused_block_no_mask_path(block_params):
+    # t_real == Tp exercises the mask-free branch
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 512, 384), jnp.float32)
+    y_k = fused_encoder_block(x, block_params, 6, 512)
+    y_x = _xla_block(x, block_params, 6, 512)
+    np.testing.assert_allclose(
+        np.asarray(y_k), np.asarray(y_x), atol=2e-5
+    )
+
+
+def test_fused_block_gradient(block_params):
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 512, 384), jnp.float32)
+
+    def loss_k(x):
+        return jnp.sum(fused_encoder_block(x, block_params, 6, 500)[:, :500] ** 2)
+
+    def loss_x(x):
+        return jnp.sum(_xla_block(x, block_params, 6, 500)[:, :500] ** 2)
+
+    g_k = jax.grad(loss_k)(x)
+    g_x = jax.grad(loss_x)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_x), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_encoder_apply_fused_matches_unfused():
+    """Whole tiny encoder: fused-block path vs the plain XLA path."""
+    dims = tiny_dims()
+    params = model.init_params(jax.random.PRNGKey(0), dims)
+    mel = jax.random.normal(jax.random.PRNGKey(5), (1, 80, 3000), jnp.float32)
+    model.set_flash_attention(True)   # forces the fused/pallas path on
+    try:
+        y_fused = model.encoder_apply(params["encoder"], mel, dims)
+    finally:
+        model.set_flash_attention(False)
+    y_plain = model.encoder_apply(params["encoder"], mel, dims)
+    assert y_fused.shape == y_plain.shape == (1, 1500, 384)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
+    )
+    model.set_flash_attention(None)
