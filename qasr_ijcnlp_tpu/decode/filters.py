@@ -152,6 +152,8 @@ def apply_filters(
 
 def _log_softmax(x):
     # -inf-safe log-softmax (rows always contain at least one finite entry).
+    # Always computed in fp32, even from a bf16 logits buffer.
+    x = x.astype(jnp.float32)
     m = jnp.max(x, axis=-1, keepdims=True)
     shifted = x - m
     return shifted - jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))

@@ -40,6 +40,13 @@ class LoopConfig(NamedTuple):
     timestamp_begin: int
     no_speech: Optional[int]
     compute_dtype: str = "float32"
+    # bf16 logits + filters (the reference's own fp16 decode protocol,
+    # decoding.py fp16 path): halves the per-step (B, V) logits HBM traffic.
+    # Score accumulation still happens in fp32.  Measured neutral at B=512
+    # on-chip (the logits passes hide under the cross-KV DMA critical path),
+    # so it stays OFF to keep the TPU decode fp-exact vs the tested path;
+    # the plumbing remains for bigger-vocab/batch experiments.
+    logits_bf16: bool = False
     # Store the cross K/V int8-quantized (ops/decode_attn.py): halves the
     # decode loop's dominant HBM stream; opt-in, not fp-token-exact.
     kv_int8: bool = False
@@ -75,10 +82,12 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     B = initial_tokens.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)
     # Bound the self cache to the reachable length (prompt + samples + the
-    # unroll overshoot), rounded up for tile alignment: every decode step
-    # streams the whole buffer, so unreachable positions are pure waste.
+    # unroll overshoot), rounded up to the bf16 sublane tile (16): every
+    # decode step streams the whole buffer, so unreachable positions are
+    # pure waste (64-token decodes: a 128-row cache wastes 60% of the
+    # self-KV stream vs the 80 rows actually reachable).
     reach = cfg.sample_begin + cfg.sample_len + cfg.unroll + 1
-    ctx = min(cfg.dims.n_text_ctx, (reach + 63) // 64 * 64)
+    ctx = min(cfg.dims.n_text_ctx, (reach + 15) // 16 * 16)
     cache = model.init_kv_cache(
         cfg.dims, B, dtype, cross_batch=audio_features.shape[0], ctx=ctx,
         cross_int8=cfg.kv_int8,
@@ -87,7 +96,8 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
         params["decoder"], audio_features, cache, n_head=cfg.dims.n_text_head
     )
     logits_all, cache = model.decoder_step(
-        params["decoder"], initial_tokens, cache, cfg.dims, dtype
+        params["decoder"], initial_tokens, cache, cfg.dims, dtype,
+        logits_dtype=_logits_dtype(cfg),
     )
     if cfg.no_speech is not None:
         probs_at_sot = jax.nn.softmax(
@@ -97,6 +107,10 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     else:
         no_speech_probs = jnp.full((B,), jnp.nan, jnp.float32)
     return cache, logits_all[:, -1], no_speech_probs
+
+
+def _logits_dtype(cfg: LoopConfig):
+    return jnp.bfloat16 if cfg.logits_bf16 else jnp.float32
 
 
 def _filter_state(tokens_buf, cur_len, cfg: LoopConfig):
@@ -183,8 +197,17 @@ def greedy_decode(
                 next_tok = jax.random.categorical(
                     key, filtered / temperature
                 ).astype(jnp.int32)
-            logprobs = _log_softmax(filtered)
-            cur_lp = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
+            # Only the chosen token's logprob is needed: gather + scalar lse
+            # instead of materializing the full (B, V) log-softmax (saves a
+            # 212 MB/step HBM round trip at B=512).  lse math in fp32 even
+            # when the logits buffer is bf16.
+            m32 = jnp.max(filtered, axis=-1).astype(jnp.float32)
+            z = filtered.astype(jnp.float32) - m32[:, None]
+            lse = m32 + jnp.log(jnp.sum(jnp.exp(z), axis=-1))
+            chosen = jnp.take_along_axis(
+                filtered, next_tok[:, None], axis=-1
+            )[:, 0]
+            cur_lp = chosen.astype(jnp.float32) - lse
             commit = (~finished) & active
             sum_logprobs = sum_logprobs + cur_lp * commit
             next_tok = jnp.where(commit, next_tok, eot)
@@ -196,6 +219,7 @@ def greedy_decode(
             step_logits, cache = model.decoder_step(
                 params["decoder"], next_tok[:, None], cache, cfg.dims,
                 jnp.dtype(cfg.compute_dtype),
+                logits_dtype=_logits_dtype(cfg),
             )
             logits = step_logits[:, 0]
             cur_len = cur_len + 1
@@ -374,6 +398,7 @@ def beam_decode(
         step_logits, cache_g = model.decoder_step(
             params["decoder"], new_tok[:, None], cache_g, cfg.dims,
             jnp.dtype(cfg.compute_dtype),
+            logits_dtype=_logits_dtype(cfg),
         )
         return (i + 1, buf, cur_len + 1, cache_g, sum_logprobs,
                 step_logits[:, 0], fin_toks, fin_scores, fin_count, last, prev,

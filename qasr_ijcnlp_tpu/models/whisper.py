@@ -508,10 +508,16 @@ def decoder_step(
     cache: Dict[str, jnp.ndarray],
     dims: ModelDimensions,
     compute_dtype=jnp.float32,
+    logits_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Incremental decoder forward over ``tokens`` (B, T_new) starting at
-    cache position ``cache['idx']``.  Returns (logits (B, T_new, vocab) fp32,
-    updated cache).
+    cache position ``cache['idx']``.  Returns (logits (B, T_new, vocab) in
+    ``logits_dtype``, updated cache).
+
+    ``logits_dtype=bfloat16`` mirrors the reference's fp16 decode protocol
+    (decoding.py runs the model and its logit filters in half precision when
+    options.fp16) and halves the per-step (B, V) logits HBM traffic; score
+    accumulation in the decode loop upcasts to fp32 regardless.
 
     The first call may pass the whole prompt (T_new = prompt length); later
     calls pass a single token (T_new = 1).  All shapes are static; the write
@@ -584,7 +590,7 @@ def decoder_step(
         x = x + _mlp(bp["mlp"], layer_norm(x, bp["mlp_ln"]))
 
     x = layer_norm(x, params["ln"])
-    logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(jnp.float32)
+    logits = (x @ params["tok_emb"].astype(x.dtype).T).astype(logits_dtype)
     new_cache = {
         **cache,
         "self_k": self_k,
