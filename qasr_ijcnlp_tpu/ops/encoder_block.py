@@ -59,9 +59,10 @@ def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
     dh = d_model // n_head
     return (
         d_model % 128 == 0
-        # tiny/base; above that the finish kernel's resident (D, 4D) MLP
-        # weights outgrow VMEM (small+ would need an F-tiled finish kernel).
-        and d_model <= 512
+        # tiny/base use the resident-MLP finish kernel; small (768) the
+        # F-tiled one.  medium/large (1024/1280) would push the attention
+        # kernel's LN/logits scratch past VMEM - they keep the flash path.
+        and d_model <= 768
         # heads must tile into 128-lane groups
         and (dh == 128 or (dh == 64 and n_head % 2 == 0))
         and t_pad % MT == 0
@@ -194,6 +195,40 @@ def _finish_kernel(
     )
 
 
+def _finish_kernel_ftiled(
+    x_ref, attn_ref, wo_ref, bo_ref, g_ref, b_ref, wf_ref, bf_ref,
+    wp_ref, bp_ref, o_ref, r_s, h_s, acc_s,
+):
+    """F-tiled finish for D > 512: the (D, 4D) MLP weights don't fit VMEM
+    whole, so the innermost grid dim streams (D, FT) / (FT, D) column/row
+    blocks and accumulates partial proj outputs in fp32 scratch; the
+    residual and LN are computed once per row tile at f == 0."""
+    f = pl.program_id(2)
+    nf = pl.num_programs(2)
+    x = x_ref[0]                       # (MT, D)
+
+    @pl.when(f == 0)
+    def _():
+        r = x + (
+            jnp.dot(attn_ref[0], wo_ref[:],
+                    preferred_element_type=jnp.float32)
+            .astype(x.dtype) + bo_ref[:]
+        )
+        r_s[:] = r
+        h_s[:] = _ln_f32(r, g_ref[:], b_ref[:])
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    t = _gelu_exact(
+        jnp.dot(h_s[:], wf_ref[:], preferred_element_type=jnp.float32)
+        .astype(x.dtype) + bf_ref[:]
+    )
+    acc_s[:] += jnp.dot(t, wp_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(f == nf - 1)
+    def _():
+        o_ref[0] = r_s[:] + (acc_s[:].astype(x.dtype) + bp_ref[:])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "t_real", "interpret", "bq", "unroll"),
@@ -252,25 +287,7 @@ def _fused_block_impl(
 
     m = bp["mlp"]
     F = m["fc"]["w"].shape[1]
-    tconst = lambda shape: pl.BlockSpec(
-        shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    row = lambda: pl.BlockSpec((1, MT, D), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _finish_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
-        grid=(B, Tp // MT),
-        in_specs=[
-            row(), row(),                       # x, attn
-            tconst((D, D)), tconst((1, D)),     # wo, bo
-            tconst((1, D)), tconst((1, D)),     # mlp ln g, b
-            tconst((D, F)), tconst((1, F)),     # fc
-            tconst((F, D)), tconst((1, D)),     # proj
-        ],
-        out_specs=row(),
-        interpret=interpret,
-    )(
+    finish_args = (
         x, attn,
         w(a["out"]["w"]), w(a["out"]["b"].reshape(1, D)),
         bp["mlp_ln"]["g"].reshape(1, D).astype(jnp.float32),
@@ -278,7 +295,63 @@ def _fused_block_impl(
         w(m["fc"]["w"]), w(m["fc"]["b"].reshape(1, F)),
         w(m["proj"]["w"]), w(m["proj"]["b"].reshape(1, D)),
     )
-    return out
+
+    if D <= 512:
+        # whole (D, 4D) MLP weights resident per cell
+        tconst = lambda shape: pl.BlockSpec(
+            shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        row = lambda: pl.BlockSpec((1, MT, D), lambda b, t: (b, t, 0),
+                                   memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _finish_kernel,
+            out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
+            grid=(B, Tp // MT),
+            in_specs=[
+                row(), row(),                       # x, attn
+                tconst((D, D)), tconst((1, D)),     # wo, bo
+                tconst((1, D)), tconst((1, D)),     # mlp ln g, b
+                tconst((D, F)), tconst((1, F)),     # fc
+                tconst((F, D)), tconst((1, D)),     # proj
+            ],
+            out_specs=row(),
+            interpret=interpret,
+        )(*finish_args)
+
+    # D > 512: stream the MLP weights in (D, FT)/(FT, D) blocks along an
+    # innermost f grid dim; smaller row tiles keep the block set in VMEM.
+    MT2 = 256
+    FT = 1024
+    assert F % FT == 0 and Tp % MT2 == 0
+    fconst = lambda shape: pl.BlockSpec(
+        shape, lambda b, t, f: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    frow = lambda: pl.BlockSpec((1, MT2, D), lambda b, t, f: (b, t, 0),
+                                memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _finish_kernel_ftiled,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
+        grid=(B, Tp // MT2, F // FT),
+        in_specs=[
+            frow(), frow(),                         # x, attn
+            fconst((D, D)), fconst((1, D)),         # wo, bo
+            fconst((1, D)), fconst((1, D)),         # mlp ln g, b
+            pl.BlockSpec((D, FT), lambda b, t, f: (0, f),
+                         memory_space=pltpu.VMEM),  # fc cols
+            pl.BlockSpec((1, FT), lambda b, t, f: (0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FT, D), lambda b, t, f: (f, 0),
+                         memory_space=pltpu.VMEM),  # proj rows
+            fconst((1, D)),
+        ],
+        out_specs=frow(),
+        scratch_shapes=[
+            pltpu.VMEM((MT2, D), dt),               # r
+            pltpu.VMEM((MT2, D), dt),               # LN(r)
+            pltpu.VMEM((MT2, D), jnp.float32),      # proj accumulator
+        ],
+        interpret=interpret,
+    )(*finish_args)
 
 
 def _xla_block(x, bp, n_head: int, t_real: int):

@@ -28,7 +28,8 @@ def main():
     tok = get_tokenizer(True, num_languages=99, language="en", task="transcribe")
     rng = np.random.default_rng(0)
 
-    for B in (8, 16, 32, 64, 128):
+    sizes = [int(s) for s in sys.argv[1:]] or [8, 16, 32, 64, 128]
+    for B in sizes:
         mel = jnp.asarray(rng.standard_normal((B, 80, 3000)), jnp.float32)
         opts = DecodingOptions(
             language="en", without_timestamps=True, sample_len=64,

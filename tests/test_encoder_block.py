@@ -25,10 +25,11 @@ def block_params():
 
 
 def test_applicability():
-    assert fused_block_applicable(6, 384, 1536)      # tiny
-    assert fused_block_applicable(8, 512, 1536)      # base
-    assert not fused_block_applicable(12, 768, 1536)  # small: VMEM gate
-    assert not fused_block_applicable(6, 384, 1000)   # non-tile-aligned
+    assert fused_block_applicable(6, 384, 1536)       # tiny
+    assert fused_block_applicable(8, 512, 1536)       # base
+    assert fused_block_applicable(12, 768, 1536)      # small (F-tiled finish)
+    assert not fused_block_applicable(16, 1024, 1536)  # medium: VMEM gate
+    assert not fused_block_applicable(6, 384, 1000)    # non-tile-aligned
 
 
 def test_fused_block_matches_xla_f32(block_params):
@@ -57,6 +58,17 @@ def test_fused_block_no_mask_path(block_params):
     y_x = _xla_block(x, block_params, 6, 512)
     np.testing.assert_allclose(
         np.asarray(y_k), np.asarray(y_x), atol=2e-5
+    )
+
+
+def test_fused_block_small_geometry_ftiled():
+    """D=768 exercises the F-tiled finish kernel (streamed MLP weights)."""
+    bp = model._init_block(jax.random.PRNGKey(7), 768, cross_attention=False)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 512, 768), jnp.float32)
+    y_k = fused_encoder_block(x, bp, 12, 500)
+    y_x = _xla_block(x, bp, 12, 500)
+    np.testing.assert_allclose(
+        np.asarray(y_k[:, :500]), np.asarray(y_x[:, :500]), atol=2e-5
     )
 
 
