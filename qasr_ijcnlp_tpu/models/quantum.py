@@ -112,16 +112,9 @@ def quantum_encoder_apply(
     )
     x = x.astype(compute_dtype).transpose(0, 2, 1)
     x = x + params["pos"].astype(x.dtype)
-
-    n_head = dims.n_audio_head
-
-    def block(x, bp):
-        x = x + cmodel._self_attn(bp["attn"], cmodel.layer_norm(x, bp["attn_ln"]), n_head)
-        x = x + cmodel._mlp(bp["mlp"], cmodel.layer_norm(x, bp["mlp_ln"]))
-        return x, None
-
-    x, _ = jax.lax.scan(block, x, params["blocks"])
-    return cmodel.layer_norm(x, params["ln_post"])
+    # Shared transformer trunk (models/whisper.py): the quantum encoder gets
+    # the same tile-aligned fused-block/flash kernel paths on TPU.
+    return cmodel.transformer_trunk(params, x, dims)
 
 
 import functools

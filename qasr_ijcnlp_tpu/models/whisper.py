@@ -292,7 +292,17 @@ def encoder_apply(
     x = jax.nn.gelu(_conv1d(x, params["conv2"], 2), approximate=False)
     x = x.transpose(0, 2, 1)  # (B, T, D)
     x = x + params["pos"].astype(x.dtype)
+    return transformer_trunk(params, x, dims)
 
+
+def transformer_trunk(
+    params: Params, x: jnp.ndarray, dims: ModelDimensions
+) -> jnp.ndarray:
+    """Encoder transformer stack + final LN on an embedded (B, T, D) input.
+
+    Shared by the classical and quantum encoders (the quantum encoder only
+    swaps the conv stem, reference quantum_whisper.py:130-144), so both get
+    the tile-aligned fused-block/flash kernel paths."""
     n_head = dims.n_audio_head
     T = x.shape[1]
 

@@ -28,7 +28,8 @@ def main():
     tok = get_tokenizer(True, num_languages=99, language="en", task="transcribe")
     rng = np.random.default_rng(0)
 
-    for B, K in ((8, 5), (16, 5)):
+    sizes = [(int(s), 5) for s in sys.argv[1:]] or [(8, 5), (16, 5)]
+    for B, K in sizes:
         mel = jnp.asarray(rng.standard_normal((B, 80, 3000)), jnp.float32)
         opts = DecodingOptions(
             language="en", without_timestamps=True, sample_len=64,
