@@ -41,9 +41,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Throughput-optimal batch (scan 2026-08-16: B=64 -> 10548, 256 -> 11561,
-    # 512 -> 14945, 768 -> 15163, 1024 -> 14879; the reference is likewise
-    # measured at ITS best batch, 8).
+    # Throughput-optimal batch (re-scan 2026-08-17 post fused-encoder +
+    # decode trims: B=512 -> 19149, 640 -> 17631, 768 -> 19064,
+    # 1024 -> 18874; the reference is likewise measured at ITS best
+    # batch, 8).
     batch, steps, repeats = 512, 64, 3
 
     dims = tiny_dims()

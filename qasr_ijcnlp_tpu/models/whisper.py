@@ -36,10 +36,13 @@ from .dims import ModelDimensions
 
 Params = Dict[str, Any]
 
-# Pallas flash-attention path for the encoder's unmasked self-attention.
-# None = auto: ON for a TPU backend (measured 1.03x tiny -> 1.19x small over
-# XLA attention on-chip, scripts/bench_kernels_ab.py; backward runs through
-# the XLA formulation via custom_vjp), OFF elsewhere.
+# Pallas kernel path for the encoder stack.  None = auto: ON for a TPU
+# backend, OFF elsewhere.  When on, tiny/base/small run the fully fused
+# two-kernel encoder block (ops/encoder_block.py: tiny B=512 encoder 301 ->
+# 245 ms, base B=128 1.54x, small B=64 1.38x over XLA — docs/BENCHMARKS.md);
+# family members past the fused gate fall back to the packed flash
+# attention kernel (ops/flash.py).  Backward runs through the XLA
+# formulation via custom_vjp in both cases.
 _USE_FLASH: Optional[bool] = None
 
 # Rematerialize transformer blocks in the backward pass (trade FLOPs for HBM;
