@@ -290,6 +290,17 @@ def encoder_apply(
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Audio encoder forward: (B, n_mels, 3000) -> (B, 1500, D)."""
+    T = dims.n_audio_ctx
+    Tp = (T + 127) // 128 * 128
+    if _trunk_uses_fused_blocks(dims, jnp.dtype(compute_dtype)):
+        from ..ops.conv_stem import fused_conv_stem, stem_applicable
+
+        if stem_applicable(dims.n_mels, mel.shape[-1], T, Tp):
+            # Fused Pallas stem emits the trunk input directly: row-major,
+            # tile-padded, position-added (ops/conv_stem.py).
+            stem = {k: params[k] for k in ("conv1", "conv2", "pos")}
+            x = fused_conv_stem(stem, mel, Tp, str(jnp.dtype(compute_dtype)))
+            return transformer_trunk(params, x, dims, t_real=T)
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(_conv1d(x, params["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, params["conv2"], 2), approximate=False)
@@ -298,16 +309,32 @@ def encoder_apply(
     return transformer_trunk(params, x, dims)
 
 
+def _trunk_uses_fused_blocks(dims: ModelDimensions, dtype) -> bool:
+    from ..ops.encoder_block import fused_block_applicable
+
+    Tp = (dims.n_audio_ctx + 127) // 128 * 128
+    return (
+        _flash_enabled()
+        and Tp >= 512
+        and fused_block_applicable(dims.n_audio_head, dims.n_audio_state, Tp)
+        and (dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
+    )
+
+
 def transformer_trunk(
-    params: Params, x: jnp.ndarray, dims: ModelDimensions
+    params: Params,
+    x: jnp.ndarray,
+    dims: ModelDimensions,
+    t_real: Optional[int] = None,
 ) -> jnp.ndarray:
     """Encoder transformer stack + final LN on an embedded (B, T, D) input.
 
     Shared by the classical and quantum encoders (the quantum encoder only
     swaps the conv stem, reference quantum_whisper.py:130-144), so both get
-    the tile-aligned fused-block/flash kernel paths."""
+    the tile-aligned fused-block/flash kernel paths.  Pass ``t_real`` when
+    ``x`` arrives already tile-padded (rows >= t_real are zero padding)."""
     n_head = dims.n_audio_head
-    T = x.shape[1]
+    T = t_real if t_real is not None else x.shape[1]
 
     # On TPU, run the transformer stack at a tile-aligned sequence length
     # (1500 -> 1536): the Pallas kernels then consume every layer's (B, T, D)
@@ -320,17 +347,11 @@ def transformer_trunk(
     # attention + out-proj + residual; LN + MLP + residual) — row-major I/O
     # end to end, so the scan carry never changes layout and the per-layer
     # transpose fusions disappear (see ops/encoder_block.py header).
-    from ..ops.encoder_block import fused_block_applicable, fused_encoder_block
+    from ..ops.encoder_block import fused_encoder_block
 
-    use_fused = (
-        _flash_enabled()
-        and Tp >= 512
-        and fused_block_applicable(n_head, dims.n_audio_state, Tp)
-        and (x.dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
-    )
-    if use_fused:
-        if Tp != T:
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    if _trunk_uses_fused_blocks(dims, x.dtype):
+        if x.shape[1] != Tp:
+            x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0)))
 
         def block(x, bp):
             return fused_encoder_block(x, bp, n_head, T), None
@@ -340,14 +361,14 @@ def transformer_trunk(
             x = x[:, :T]
         return layer_norm(x, params["ln_post"])
 
-    if _flash_enabled() and Tp != T and Tp >= 512:
+    if _flash_enabled() and Tp != x.shape[1] and Tp >= 512:
         # Tp >= 512 mirrors attention()'s packed-kernel gate exactly: padding
         # is only safe when the kernel (which masks keys >= t_real) consumes
         # it - the XLA fallback would attend to the garbage padding keys.
         from ..ops.flash import packed_applicable
 
         if packed_applicable(n_head, dims.n_audio_state):
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+            x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0)))
 
     def block(x, bp):
         x = x + _self_attn(
