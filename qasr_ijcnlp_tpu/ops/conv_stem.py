@@ -9,7 +9,7 @@ embeddings added, padding rows zeroed — in one pass per batch item.
 Stride-2 trick: the caller splits mel into even/odd time phases (an XLA
 strided slice, the only relayout left).  With x_e[t] = x[2t], x_o[t] =
 x[2t+1] every tap of both convolutions becomes a whole-array single-row
-shift (pltpu.roll), never a strided access:
+shift (concat of slices), never a strided access:
 
     conv1 (k3, p1):  y1_e[t] = x_o[t-1] Wa + x_e[t] Wb + x_o[t] Wc
                      y1_o[t] = x_e[t]   Wa + x_o[t] Wb + x_e[t+1] Wc

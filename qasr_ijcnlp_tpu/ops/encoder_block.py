@@ -40,7 +40,6 @@ d_head in {64, 128}; covers every Whisper family member (all have dh=64).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
