@@ -10,7 +10,9 @@ inside ``lax.while_loop``:
   two per-row scalars - the last and penultimate sampled tokens plus the
   running max timestamp - instead of scanning each row's history.
 
-All functions take logits in fp32 and return fp32.
+Logit dtype passes through: fp32 normally, bf16 under the opt-in
+``LoopConfig.logits_bf16`` path (masking with -inf is dtype-safe either
+way); the internal sum-probability rule always computes in fp32.
 """
 
 from __future__ import annotations

@@ -309,14 +309,21 @@ def encoder_apply(
     return transformer_trunk(params, x, dims)
 
 
-def _trunk_uses_fused_blocks(dims: ModelDimensions, dtype) -> bool:
+def _trunk_uses_fused_blocks(
+    dims: ModelDimensions, dtype, t_pad: Optional[int] = None
+) -> bool:
+    """``t_pad`` must be the RUNTIME padded length the kernels will see —
+    gating on dims.n_audio_ctx alone would admit shorter trunk inputs whose
+    padded length doesn't tile into the finish kernel's row blocks."""
     from ..ops.encoder_block import fused_block_applicable
 
-    Tp = (dims.n_audio_ctx + 127) // 128 * 128
+    if t_pad is None:
+        t_pad = (dims.n_audio_ctx + 127) // 128 * 128
     return (
         _flash_enabled()
-        and Tp >= 512
-        and fused_block_applicable(dims.n_audio_head, dims.n_audio_state, Tp)
+        and t_pad >= 512
+        and fused_block_applicable(dims.n_audio_head, dims.n_audio_state,
+                                   t_pad)
         and (dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
     )
 
@@ -349,7 +356,7 @@ def transformer_trunk(
     # transpose fusions disappear (see ops/encoder_block.py header).
     from ..ops.encoder_block import fused_encoder_block
 
-    if _trunk_uses_fused_blocks(dims, x.dtype):
+    if _trunk_uses_fused_blocks(dims, x.dtype, t_pad=Tp):
         if x.shape[1] != Tp:
             x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0)))
 

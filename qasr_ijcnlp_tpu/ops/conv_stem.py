@@ -37,7 +37,14 @@ from .encoder_block import _gelu_exact
 
 
 def stem_applicable(n_mels: int, t_mel: int, t_out: int, t_pad: int) -> bool:
-    return t_mel == 2 * t_out and t_mel % 2 == 0 and t_pad >= t_out
+    # n_mels must be sublane-tile aligned for the kernel's static weight
+    # row slices (80 and 128 both qualify).
+    return (
+        n_mels % 16 == 0
+        and t_mel == 2 * t_out
+        and t_mel % 2 == 0
+        and t_pad >= t_out
+    )
 
 
 def _shift_down(x):
@@ -142,7 +149,13 @@ def _stem_impl(mel, conv1, conv2, pos, t_pad: int, interpret: bool, dtype):
 
 def _xla_stem(params, mel, t_pad: int, dtype_str: str):
     """Reference XLA formulation (conv + gelu + pad + pos) for the backward
-    pass and as the numerics oracle."""
+    pass and as the numerics oracle.
+
+    Deliberately NOT models/whisper.py's production helpers: the VJP must
+    stay a pure-XLA program regardless of the kernel enable flags (calling
+    the production path could recursively select a non-differentiable
+    Pallas kernel).  Equivalence with the production stem is pinned by
+    tests/test_conv_stem.py::test_encoder_apply_with_stem_matches_plain."""
     dt = jnp.dtype(dtype_str)
     x = mel.astype(dt)
 

@@ -62,6 +62,8 @@ def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
         # F-tiled one.  medium/large (1024/1280) would push the attention
         # kernel's LN/logits scratch past VMEM - they keep the flash path.
         and d_model <= 768
+        # the F-tiled finish (D > 512) streams 1024-wide MLP columns
+        and (d_model <= 512 or (4 * d_model) % 1024 == 0)
         # heads must tile into 128-lane groups
         and (dh == 128 or (dh == 64 and n_head % 2 == 0))
         and t_pad % MT == 0
@@ -355,7 +357,14 @@ def _fused_block_impl(
 
 def _xla_block(x, bp, n_head: int, t_real: int):
     """Reference XLA formulation of the same block (used for the backward
-    pass and as the numerics oracle in tests)."""
+    pass and as the numerics oracle in tests).
+
+    Deliberately NOT models/whisper.py's production helpers: the VJP must
+    stay a pure-XLA program regardless of the kernel enable flags (the
+    production attention() could recursively select a non-differentiable
+    Pallas kernel at these shapes).  Equivalence with the production block
+    is pinned by tests/test_encoder_block.py::
+    test_encoder_apply_fused_matches_unfused."""
     B, Tp, D = x.shape
     dh = D // n_head
     scale = dh ** -0.25

@@ -42,6 +42,7 @@ from .decode import DecodingOptions, decode
 @dataclass
 class _Pending:
     audio: np.ndarray  # padded/trimmed raw 16 kHz mono, int16 wire format
+    scale: float       # per-clip dequant factor: float = int16 * scale
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     error: Optional[str] = None
@@ -74,8 +75,8 @@ class BatchingTranscriber:
         # and is rescaled on device inside the same program.
         n_mels = self.model.dims.n_mels
         self._jmel = jax.jit(
-            lambda a: log_mel_spectrogram(
-                a.astype(jnp.float32) / 32767.0, n_mels
+            lambda a, s: log_mel_spectrogram(
+                a.astype(jnp.float32) * s[:, None], n_mels
             )
         )
         # ≥2 workers pipeline the host->device batch upload of one
@@ -97,10 +98,15 @@ class BatchingTranscriber:
         batching worker in ONE device call for the whole micro-batch (a
         per-request jitted mel + host fetch cost ~50 ms of dispatch latency
         each through a tunneled device link and serialized the server at
-        ~10 req/s)."""
+        ~10 req/s).  The int16 wire format is quantized against the CLIP's
+        own peak (scale restored on device), so quiet or >1-amplitude
+        inputs keep their full dynamic range (~90 dB SNR per clip)."""
         audio = pad_or_trim(np.asarray(audio, np.float32))
-        audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
-        item = _Pending(audio=audio)
+        peak = float(max(np.max(np.abs(audio)), 1e-9))
+        item = _Pending(
+            audio=(audio * (32767.0 / peak)).astype(np.int16),
+            scale=peak / 32767.0,
+        )
         self._queue.put(item)
         if not item.event.wait(timeout):
             raise TimeoutError("transcription timed out")
@@ -142,13 +148,17 @@ class BatchingTranscriber:
                 continue
             try:
                 audios = np.stack([p.audio for p in batch])
+                scales = np.asarray([p.scale for p in batch], np.float32)
                 if len(batch) < self.batch_size:  # pad to the compiled shape
-                    pad = np.repeat(
-                        audios[-1:], self.batch_size - len(batch), 0
+                    n_pad = self.batch_size - len(batch)
+                    audios = np.concatenate(
+                        [audios, np.repeat(audios[-1:], n_pad, 0)], axis=0
                     )
-                    audios = np.concatenate([audios, pad], axis=0)
+                    scales = np.concatenate(
+                        [scales, np.repeat(scales[-1:], n_pad)]
+                    )
                 # one batched on-device mel; stays on device into decode
-                mels = self._jmel(audios)
+                mels = self._jmel(audios, scales)
                 results = decode(self.model, mels, self.options)
                 for p, r in zip(batch, results):
                     p.result = {

@@ -69,10 +69,10 @@ def test_encoder_apply_with_stem_matches_plain():
     model.set_flash_attention(True)
     try:
         y_fused = model.encoder_apply(params["encoder"], mel, dims)
-    finally:
         model.set_flash_attention(False)
-    y_plain = model.encoder_apply(params["encoder"], mel, dims)
-    np.testing.assert_allclose(
-        np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
-    )
-    model.set_flash_attention(None)
+        y_plain = model.encoder_apply(params["encoder"], mel, dims)
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
+        )
+    finally:
+        model.set_flash_attention(None)

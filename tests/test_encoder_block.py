@@ -72,6 +72,27 @@ def test_fused_block_small_geometry_ftiled():
     )
 
 
+def test_trunk_short_input_falls_back():
+    """A trunk input shorter than n_audio_ctx (possible via the shared
+    quantum-encoder path) must NOT take the fused-block path when its own
+    padded length doesn't tile — the gate is evaluated at the runtime
+    length (regression: the finish kernel grid would silently skip rows)."""
+    dims = tiny_dims()
+    params = model.init_params(jax.random.PRNGKey(0), dims)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 1100, 384), jnp.float32)
+    model.set_flash_attention(True)
+    try:
+        y = model.transformer_trunk(params["encoder"], x, dims)
+        model.set_flash_attention(False)
+        y_plain = model.transformer_trunk(params["encoder"], x, dims)
+        assert y.shape == (1, 1100, 384)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_plain), atol=5e-5
+        )
+    finally:
+        model.set_flash_attention(None)
+
+
 def test_fused_block_gradient(block_params):
     x = jax.random.normal(jax.random.PRNGKey(4), (1, 512, 384), jnp.float32)
 
@@ -96,11 +117,11 @@ def test_encoder_apply_fused_matches_unfused():
     model.set_flash_attention(True)   # forces the fused/pallas path on
     try:
         y_fused = model.encoder_apply(params["encoder"], mel, dims)
-    finally:
         model.set_flash_attention(False)
-    y_plain = model.encoder_apply(params["encoder"], mel, dims)
-    assert y_fused.shape == y_plain.shape == (1, 1500, 384)
-    np.testing.assert_allclose(
-        np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
-    )
-    model.set_flash_attention(None)
+        y_plain = model.encoder_apply(params["encoder"], mel, dims)
+        assert y_fused.shape == y_plain.shape == (1, 1500, 384)
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_plain), atol=5e-5
+        )
+    finally:
+        model.set_flash_attention(None)
