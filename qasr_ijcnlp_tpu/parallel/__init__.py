@@ -70,8 +70,26 @@ def make_mesh(
         model_parallel = max(
             d for d in range(1, min(model_parallel, n) + 1) if n % d == 0
         )
+    if n > 1:
+        _disable_unpartitionable_kernels()
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names)
+
+
+def _disable_unpartitionable_kernels() -> None:
+    """GSPMD cannot partition opaque Pallas custom calls: under a multi-
+    device mesh they would be replicated (all-gathering their operands)
+    instead of sharded.  Any path that builds a real mesh therefore pins
+    the encoder kernels and fused mel OFF for the process — the XLA
+    formulations partition cleanly and the kernels' single-chip win is
+    irrelevant once the model is sharded."""
+    from ..models import whisper as _w
+    from .. import audio as _a
+
+    if _w._USE_FLASH is None:
+        _w.set_flash_attention(False)
+    if _a._USE_FUSED_MEL is None:
+        _a.set_fused_mel(False)
 
 
 # ---------------------------------------------------------------------------

@@ -264,3 +264,22 @@ print("proc", pid, "ok")
     for i, (p, (out, err)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
         assert f"proc {i} ok" in out
+
+
+def test_make_mesh_disables_unpartitionable_kernels():
+    """A real multi-device mesh pins the Pallas kernels off: GSPMD cannot
+    partition opaque custom calls, so a sharded program would replicate
+    them (all-gathering operands) instead of sharding."""
+    from qasr_ijcnlp_tpu import audio, parallel
+    from qasr_ijcnlp_tpu.models import whisper
+
+    old_flash, old_mel = whisper._USE_FLASH, audio._USE_FUSED_MEL
+    whisper.set_flash_attention(None)
+    audio.set_fused_mel(None)
+    try:
+        parallel.make_mesh()  # 8 virtual CPU devices in the test env
+        assert whisper._USE_FLASH is False
+        assert audio._USE_FUSED_MEL is False
+    finally:
+        whisper.set_flash_attention(old_flash)
+        audio.set_fused_mel(old_mel)
