@@ -23,6 +23,7 @@ from __future__ import annotations
 import warnings
 from typing import List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -221,6 +222,19 @@ class _Session:
             )
 
 
+@jax.jit
+def _gather_windows(mel_dev, starts):
+    """(n_mels, L) device mel + (B,) frame starts -> (B, n_mels, N_FRAMES).
+
+    In range by construction: the mel carries N_SAMPLES of right padding, so
+    every start < content_frames leaves a full window."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            mel_dev, (0, s), (mel_dev.shape[0], N_FRAMES)
+        )
+    )(starts)
+
+
 def _transcribe_batched(
     session: _Session,
     mel: np.ndarray,
@@ -229,12 +243,18 @@ def _transcribe_batched(
     no_speech_threshold: Optional[float],
     logprob_threshold: Optional[float],
     verbose: Optional[bool],
+    mel_dev=None,
 ) -> None:
     """Fixed-stride windows decoded as device batches (one compiled shape).
 
     The sequential loop's data-dependent seek/prompt coupling is dropped -
     window w covers frames [w*N_FRAMES, (w+1)*N_FRAMES); windows failing the
     quality gates re-decode individually through the temperature ladder.
+
+    With ``mel_dev`` (the device-resident full-audio mel) the windows are
+    gathered on device in ONE jitted call — the previous per-window
+    host-slice + upload cost ~30 ms of tunneled dispatch per window and
+    dominated single-stream long-form wall time.
     """
     from ..decode import decode as _decode
 
@@ -243,16 +263,27 @@ def _transcribe_batched(
 
     for chunk_start in range(0, len(starts), max_batch):
         chunk = starts[chunk_start : chunk_start + max_batch]
-        mels = jnp.stack([
-            pad_or_trim(jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES)
-            for s in chunk
-        ])
-        # Pad to the full batch so every call compiles one shape; padded rows
-        # are discarded below.
-        if len(chunk) < max_batch and len(starts) > max_batch:
-            mels = jnp.concatenate(
-                [mels, jnp.repeat(mels[-1:], max_batch - len(chunk), axis=0)]
+        # Pad the start list to the full batch so every call compiles one
+        # shape; padded rows are discarded below.
+        pad_n = (
+            max_batch - len(chunk)
+            if len(chunk) < max_batch and len(starts) > max_batch
+            else 0
+        )
+        if mel_dev is not None:
+            padded = chunk + [chunk[-1]] * pad_n
+            mels = _gather_windows(
+                mel_dev, jnp.asarray(padded, jnp.int32)
             )
+        else:
+            mels = jnp.stack([
+                pad_or_trim(jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES)
+                for s in chunk
+            ])
+            if pad_n:
+                mels = jnp.concatenate(
+                    [mels, jnp.repeat(mels[-1:], pad_n, axis=0)]
+                )
         opts = dict(session.options)
         opts.pop("prompt", None)
         results = _decode(
@@ -261,9 +292,14 @@ def _transcribe_batched(
         )
         for s, result in zip(chunk, results):
             if len(session.temperatures) > 1 and not session._acceptable(result):
-                segment_mel = pad_or_trim(
-                    jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES
-                )
+                if mel_dev is not None:
+                    segment_mel = _gather_windows(
+                        mel_dev, jnp.asarray([s], jnp.int32)
+                    )[0]
+                else:
+                    segment_mel = pad_or_trim(
+                        jnp.asarray(mel[:, s : s + N_FRAMES]), N_FRAMES
+                    )
                 result = session.decode_window(segment_mel)
             segments_by_window[s] = result
 
@@ -330,10 +366,20 @@ def transcribe(
     its closest analog is the verbose per-segment print, transcribe.py:277).
     """
     # 30 s of zero padding on the right so the last window is full-size.
-    mel = np.asarray(
-        log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-    )
-    content_frames = mel.shape[-1] - N_FRAMES
+    # The device copy feeds the batched-window fast path and language
+    # detection (windows sliced on device, no host round trip); a host
+    # copy is fetched LAZILY only if the sequential seek loop's
+    # data-dependent slicing needs it (a 10-minute mel is ~19 MB — the
+    # unconditional fetch cost ~0.5 s over a tunneled device link).
+    mel_dev = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+    _mel_host_cache: List[np.ndarray] = []
+
+    def mel_host() -> np.ndarray:
+        if not _mel_host_cache:
+            _mel_host_cache.append(np.asarray(mel_dev))
+        return _mel_host_cache[0]
+
+    content_frames = int(mel_dev.shape[-1]) - N_FRAMES
     content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
 
     if decode_options.get("language") is None:
@@ -345,7 +391,7 @@ def transcribe(
                     "Detecting language using up to the first 30 seconds. "
                     "Use `language` to specify the language"
                 )
-            segment = pad_or_trim(jnp.asarray(mel), N_FRAMES)
+            segment = pad_or_trim(mel_dev, N_FRAMES)
             _, probs = model.detect_language(segment)
             decode_options["language"] = max(probs, key=probs.get)
             if verbose is not None:
@@ -398,8 +444,8 @@ def transcribe(
     if batch_windows:
         max_batch = 64 if batch_windows is True else max(int(batch_windows), 2)
         _transcribe_batched(
-            session, mel, content_frames, max_batch, no_speech_threshold,
-            logprob_threshold, verbose,
+            session, None, content_frames, max_batch, no_speech_threshold,
+            logprob_threshold, verbose, mel_dev=mel_dev,
         )
         return dict(
             text=tokenizer.decode(
@@ -418,7 +464,8 @@ def transcribe(
             segment_size = min(N_FRAMES, content_frames - seek, clip_end - seek)
             segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
             mel_segment = pad_or_trim(
-                jnp.asarray(mel[:, seek : seek + segment_size]), N_FRAMES
+                jnp.asarray(mel_host()[:, seek : seek + segment_size]),
+                N_FRAMES,
             )
 
             if carry_initial_prompt:
