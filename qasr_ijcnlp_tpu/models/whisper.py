@@ -295,7 +295,8 @@ def encoder_apply(
     if _trunk_uses_fused_blocks(dims, jnp.dtype(compute_dtype)):
         from ..ops.conv_stem import fused_conv_stem, stem_applicable
 
-        if stem_applicable(dims.n_mels, mel.shape[-1], T, Tp):
+        if stem_applicable(dims.n_mels, mel.shape[-1], T, Tp,
+                           dims.n_audio_state):
             # Fused Pallas stem emits the trunk input directly: row-major,
             # tile-padded, position-added (ops/conv_stem.py).
             stem = {k: params[k] for k in ("conv1", "conv2", "pos")}

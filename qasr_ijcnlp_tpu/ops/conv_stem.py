@@ -36,11 +36,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .encoder_block import _gelu_exact
 
 
-def stem_applicable(n_mels: int, t_mel: int, t_out: int, t_pad: int) -> bool:
+def stem_applicable(
+    n_mels: int, t_mel: int, t_out: int, t_pad: int, d_model: int = 512
+) -> bool:
     # n_mels must be sublane-tile aligned for the kernel's static weight
-    # row slices (80 and 128 both qualify).
+    # row slices (80 and 128 both qualify).  D capped at 512 (tiny/base):
+    # the kernel holds both phase activations, the conv2 weights and the
+    # padded output per cell, which passes 16 MB VMEM above that — bigger
+    # members keep the XLA stem (their trunks still fuse).
     return (
         n_mels % 16 == 0
+        and d_model <= 512
         and t_mel == 2 * t_out
         and t_mel % 2 == 0
         and t_pad >= t_out

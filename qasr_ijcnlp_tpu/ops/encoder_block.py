@@ -58,16 +58,18 @@ def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
     dh = d_model // n_head
     return (
         d_model % 128 == 0
-        # tiny/base use the resident-MLP finish kernel; small (768) the
-        # F-tiled one.  medium/large (1024/1280) would push the attention
-        # kernel's LN/logits scratch past VMEM - they keep the flash path.
-        and d_model <= 768
+        # tiny/base use the resident-MLP finish kernel; small/medium
+        # (768/1024) the F-tiled one with chunked LN.  large (1280) pushes
+        # the attention kernel's buffers past VMEM - it keeps the flash
+        # path.
+        and d_model <= 1024
         # the F-tiled finish (D > 512) streams 1024-wide MLP columns
         and (d_model <= 512 or (4 * d_model) % 1024 == 0)
         # heads must tile into 128-lane groups
         and (dh == 128 or (dh == 64 and n_head % 2 == 0))
         and t_pad % MT == 0
         and t_pad % BQ == 0
+        and t_pad % 256 == 0   # LN row-chunk size
     )
 
 
@@ -101,7 +103,7 @@ def _ln_f32(x, g, b, eps=1e-5):
 
 def _attn_kernel(
     x_ref, mask_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
-    o_ref, q_s, ve_s, *, t_real: int, dh: int, bq: int = BQ,
+    o_ref, q_s, ve_s, kk_s, *, t_real: int, dh: int, bq: int = BQ,
     unroll: int = 1,
 ):
     """One (batch item, 128-lane head group): softmax(qh kh^T) vh, all rows.
@@ -116,36 +118,50 @@ def _attn_kernel(
     * V is augmented with a ones-column block (``ve_s``), so the softmax
       denominator falls out of the same MXU dot as PV — lanes dh..2dh of the
       product are sum(p) — replacing a multi-pass cross-lane reduction.
+
+    LN + this group's projections stream through 256-row chunks (row-local,
+    so chunking is exact): the whole-row fp32 LN/projection transients are
+    what pushed D=1024 past the VMEM limit.  Weight blocks are (D, W)
+    column slices, so summed over the grid cells the projection FLOPs equal
+    the full (D, D) projections of the unfused path.
     """
-    x = x_ref[0]                       # (Tp, D)
-    Tp, D = x.shape
+    Tp = q_s.shape[0]
     W = o_ref.shape[-1]                # 128
-    scale = x.dtype.type(float(dh) ** -0.25)
-
-    h = _ln_f32(x, g_ref[:], b_ref[:])
-    # This group's projections; weight blocks are (D, W) column slices, so
-    # summed over the grid cells the projection FLOPs equal the full (D, D)
-    # projections of the unfused path.
-    kk = (
-        jnp.dot(h, wk_ref[:], preferred_element_type=jnp.float32)
-        .astype(x.dtype) * scale
-    )                                   # (Tp, W)
-    vv = (
-        jnp.dot(h, wv_ref[:], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + bv_ref[:]
-    )
-    q_s[:] = (
-        jnp.dot(h, wq_ref[:], preferred_element_type=jnp.float32)
-        .astype(x.dtype) + bq_ref[:]
-    ) * scale                           # (Tp, W)
-
+    dt = o_ref.dtype
+    scale = dt.type(float(dh) ** -0.25)
     HB = W // dh
-    ones = jnp.ones((Tp, dh), x.dtype)
-    for hi in range(HB):
-        ve_s[:, 2 * hi * dh:(2 * hi + 1) * dh] = (
-            vv[:, hi * dh:(hi + 1) * dh]
+
+    # Chunked LN+projections only where needed: the fp32 transients fit
+    # VMEM up to small (D=768), and one full-row pass is ~4% faster at
+    # tiny than 6 chunked ones; medium must chunk.
+    D = x_ref.shape[-1]
+    LNC = Tp if D <= 768 else 256
+    ones = jnp.ones((LNC, dh), dt)
+
+    def projchunk(i, _):
+        rows = pl.ds(i * LNC, LNC)
+        hc = _ln_f32(x_ref[0, rows, :], g_ref[:], b_ref[:])
+        kk_s[rows, :] = (
+            jnp.dot(hc, wk_ref[:], preferred_element_type=jnp.float32)
+            .astype(dt) * scale
         )
-        ve_s[:, (2 * hi + 1) * dh:(2 * hi + 2) * dh] = ones
+        vc = (
+            jnp.dot(hc, wv_ref[:], preferred_element_type=jnp.float32)
+            .astype(dt) + bv_ref[:]
+        )
+        for hi in range(HB):
+            ve_s[rows, 2 * hi * dh:(2 * hi + 1) * dh] = (
+                vc[:, hi * dh:(hi + 1) * dh]
+            )
+            ve_s[rows, (2 * hi + 1) * dh:(2 * hi + 2) * dh] = ones
+        q_s[rows, :] = (
+            jnp.dot(hc, wq_ref[:], preferred_element_type=jnp.float32)
+            .astype(dt) + bq_ref[:]
+        ) * scale
+        return 0
+
+    jax.lax.fori_loop(0, Tp // LNC, projchunk, 0)
+    kk = kk_s[:]
 
     def tile(qt, _):
         for hi in range(HB):
@@ -159,7 +175,7 @@ def _attn_kernel(
             if t_real != Tp:
                 logits = logits + mask_ref[:]
             m = jnp.max(logits, axis=-1, keepdims=True)
-            p = (jnp.exp(logits - m)).astype(x.dtype)
+            p = (jnp.exp(logits - m)).astype(dt)
             ve = ve_s[:, 2 * hi * dh:2 * (hi + 1) * dh]  # [vh | ones]
             pv = jax.lax.dot_general(
                 p, ve,
@@ -168,7 +184,7 @@ def _attn_kernel(
             )  # (bq, 2*dh): [p@vh | sum(p) broadcast]
             out = pv[:, :dh] / pv[:, dh:dh + 1]
             o_ref[0, pl.ds(qt * bq, bq), hi * dh:(hi + 1) * dh] = (
-                out.astype(x.dtype)
+                out.astype(dt)
             )
         return 0
 
@@ -274,8 +290,9 @@ def _fused_block_impl(
         ],
         out_specs=pl.BlockSpec((1, Tp, W), lambda b, h: (b, 0, h),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Tp, W), dt),
-                        pltpu.VMEM((Tp, 2 * W), dt)],
+        scratch_shapes=[pltpu.VMEM((Tp, W), dt),      # q
+                        pltpu.VMEM((Tp, 2 * W), dt),  # [v | ones] per head
+                        pltpu.VMEM((Tp, W), dt)],     # k
         interpret=interpret,
     )(
         x, mask,
@@ -412,11 +429,14 @@ def fused_encoder_block(x, bp, n_head: int, t_real: int):
     """
     D, Tp = x.shape[-1], x.shape[1]
     # Bigger query tiles amortize per-iteration overhead (measured 62.5 ->
-    # 55.1 ms/block at B=512 tiny); at D=512 the f32 logits tile plus block
-    # buffers get close to VMEM, so base stays at 256 rows.
-    bq = 512 if (D <= 384 and Tp % 512 == 0) else (
-        256 if Tp % 256 == 0 else BQ
-    )
+    # 55.1 ms/block at B=512 tiny); the f32 logits tile plus block buffers
+    # approach VMEM as D grows, so base/small run 256 rows and medium 128.
+    if D <= 384 and Tp % 512 == 0:
+        bq = 512
+    elif D <= 768 and Tp % 256 == 0:
+        bq = 256
+    else:
+        bq = BQ
     return _fused_block_impl(
         x, bp, n_head, t_real, jax.default_backend() != "tpu", bq=bq
     )

@@ -28,6 +28,7 @@ def stem_params():
 def test_applicability():
     assert stem_applicable(80, 3000, 1500, 1536)
     assert not stem_applicable(80, 3000, 1400, 1536)  # wrong stride ratio
+    assert not stem_applicable(80, 3000, 1500, 1536, 768)  # VMEM gate
 
 
 def test_stem_matches_xla_f32(stem_params):

@@ -28,7 +28,8 @@ def test_applicability():
     assert fused_block_applicable(6, 384, 1536)       # tiny
     assert fused_block_applicable(8, 512, 1536)       # base
     assert fused_block_applicable(12, 768, 1536)      # small (F-tiled finish)
-    assert not fused_block_applicable(16, 1024, 1536)  # medium: VMEM gate
+    assert fused_block_applicable(16, 1024, 1536)     # medium (chunked LN)
+    assert not fused_block_applicable(20, 1280, 1536)  # large: VMEM gate
     assert not fused_block_applicable(6, 384, 1000)    # non-tile-aligned
 
 
