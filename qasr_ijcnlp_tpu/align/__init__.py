@@ -284,36 +284,135 @@ def find_alignment(
     ]
 
 
+def _absorb_timing(src: WordTiming, dst: WordTiming, front: bool) -> None:
+    """Move src's text+tokens onto dst (keeping dst's times) and empty src.
+
+    Emptied entries stay in the list rather than being deleted so the
+    token-count bookkeeping in add_word_timestamps stays index-stable."""
+    if front:
+        dst.word = src.word + dst.word
+        dst.tokens = src.tokens + dst.tokens
+    else:
+        dst.word = dst.word + src.word
+        dst.tokens = dst.tokens + src.tokens
+    src.word = ""
+    src.tokens = []
+
+
 def merge_punctuations(
     alignment: List[WordTiming], prepended: str, appended: str
 ) -> None:
-    """Fold punctuation-only timings into their neighbors (timing.py:245-276)."""
-    i, j = len(alignment) - 2, len(alignment) - 1
-    while i >= 0:
-        prev, post = alignment[i], alignment[j]
-        if prev.word.startswith(" ") and prev.word.strip() in prepended:
-            post.word = prev.word + post.word
-            post.tokens = prev.tokens + post.tokens
-            prev.word = ""
-            prev.tokens = []
-        else:
-            j = i
-        i -= 1
+    """Fold punctuation-only timings into their neighbors.
 
-    i, j = 0, 1
-    while j < len(alignment):
-        prev, post = alignment[i], alignment[j]
-        if not prev.word.endswith(" ") and post.word in appended:
-            prev.word = prev.word + post.word
-            prev.tokens = prev.tokens + post.tokens
-            post.word = ""
-            post.tokens = []
+    Behavior spec matching the reference (timing.py:245-276): two linear
+    passes.  Opening marks (tokenized as a space + mark) glue onto the word
+    that FOLLOWS them — scanned right-to-left so chains of marks land on the
+    same word; closing marks glue onto the word that PRECEDES them —
+    scanned left-to-right, same chaining property.
+    """
+    follower = len(alignment) - 1
+    for i in range(len(alignment) - 2, -1, -1):
+        cur = alignment[i]
+        if cur.word.startswith(" ") and cur.word.strip() in prepended:
+            _absorb_timing(cur, alignment[follower], front=True)
         else:
-            i = j
-        j += 1
+            follower = i
+
+    anchor = 0
+    for j in range(1, len(alignment)):
+        cur = alignment[j]
+        if not alignment[anchor].word.endswith(" ") and cur.word in appended:
+            _absorb_timing(cur, alignment[anchor], front=False)
+        else:
+            anchor = j
 
 
 _SENTENCE_END_MARKS = ".。!！?？"
+
+# Plausible-duration budget: the per-word duration cap is twice the median
+# observed duration, with the median itself capped at 0.7 s; a word sitting
+# more than 4 medians after the previous speech is "after a pause".
+# Behavior spec matching the reference's tuning (timing.py:305-310) — the
+# ratios are the contract, pinned by the word-timing parity tests.
+_MEDIAN_DURATION_CAP = 0.7
+_MAX_DURATION_RATIO = 2
+_PAUSE_MEDIAN_RATIO = 4
+
+
+def _duration_budget(alignment: List[WordTiming]):
+    """(median_duration, max_duration, any_observed) over nonzero words."""
+    durations = np.array([w.end - w.start for w in alignment])
+    durations = durations[durations.nonzero()]
+    median = float(np.median(durations)) if len(durations) else 0.0
+    median = min(_MEDIAN_DURATION_CAP, median)
+    return median, median * _MAX_DURATION_RATIO, len(durations) > 0
+
+
+def _clip_sentence_boundary_outliers(
+    alignment: List[WordTiming], max_duration: float
+) -> None:
+    """An over-long word AT a sentence end keeps its start (the DTW smeared
+    its end into the pause); one right AFTER a sentence end keeps its end."""
+    for k in range(1, len(alignment)):
+        if alignment[k].end - alignment[k].start > max_duration:
+            if alignment[k].word in _SENTENCE_END_MARKS:
+                alignment[k].end = alignment[k].start + max_duration
+            elif alignment[k - 1].word in _SENTENCE_END_MARKS:
+                alignment[k].start = alignment[k].end - max_duration
+
+
+def _shorten_first_word_after_pause(
+    words: List[dict], last_speech_timestamp: float,
+    median_duration: float, max_duration: float,
+) -> None:
+    """The first word after a long pause must not be implausibly long (the
+    DTW tends to stretch it back across the silence): pull its start (and,
+    when the second word is also stretched, the shared boundary) forward."""
+    stretched = (
+        words[0]["end"] - words[0]["start"] > max_duration
+        or (
+            len(words) > 1
+            and words[1]["end"] - words[0]["start"] > max_duration * 2
+        )
+    )
+    after_pause = (
+        words[0]["end"] - last_speech_timestamp
+        > median_duration * _PAUSE_MEDIAN_RATIO
+    )
+    if not (after_pause and stretched):
+        return
+    if len(words) > 1 and words[1]["end"] - words[1]["start"] > max_duration:
+        boundary = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
+        words[0]["end"] = words[1]["start"] = boundary
+    words[0]["start"] = max(0, words[0]["end"] - max_duration)
+
+
+def _reconcile_segment_bounds(
+    segment: dict, words: List[dict], median_duration: float
+) -> None:
+    """Make the timestamp-token segment bounds and the word timings agree:
+    each bound moves to the nearer word edge unless that would cut more
+    than half a second into the adjacent word, in which case the word edge
+    moves instead."""
+    if (
+        segment["start"] < words[0]["end"]
+        and segment["start"] - 0.5 > words[0]["start"]
+    ):
+        words[0]["start"] = max(
+            0, min(words[0]["end"] - median_duration, segment["start"])
+        )
+    else:
+        segment["start"] = words[0]["start"]
+
+    if (
+        segment["end"] > words[-1]["start"]
+        and segment["end"] + 0.5 < words[-1]["end"]
+    ):
+        words[-1]["end"] = max(
+            words[-1]["start"] + median_duration, segment["end"]
+        )
+    else:
+        segment["end"] = words[-1]["end"]
 
 
 def add_word_timestamps(
@@ -328,8 +427,9 @@ def add_word_timestamps(
     last_speech_timestamp: float,
     **kwargs,
 ) -> None:
-    """Attach per-word dicts to each segment, applying the reference's
-    duration-anomaly heuristics (timing.py:279-388)."""
+    """Attach per-word dicts to each segment: DTW alignment, punctuation
+    folding, then the plausible-duration reconciliation rules above
+    (reference surface: timing.py:279-388)."""
     if len(segments) == 0:
         return
 
@@ -340,19 +440,9 @@ def add_word_timestamps(
     alignment = find_alignment(
         model_obj, tokenizer, text_tokens, mel, num_frames, **kwargs
     )
-    word_durations = np.array([w.end - w.start for w in alignment])
-    word_durations = word_durations[word_durations.nonzero()]
-    median_duration = float(np.median(word_durations)) if len(word_durations) else 0.0
-    median_duration = min(0.7, median_duration)
-    max_duration = median_duration * 2
-
-    if len(word_durations) > 0:
-        for k in range(1, len(alignment)):
-            if alignment[k].end - alignment[k].start > max_duration:
-                if alignment[k].word in _SENTENCE_END_MARKS:
-                    alignment[k].end = alignment[k].start + max_duration
-                elif alignment[k - 1].word in _SENTENCE_END_MARKS:
-                    alignment[k].start = alignment[k].end - max_duration
+    median_duration, max_duration, observed = _duration_budget(alignment)
+    if observed:
+        _clip_sentence_boundary_outliers(alignment, max_duration)
 
     merge_punctuations(alignment, prepend_punctuations, append_punctuations)
 
@@ -360,6 +450,8 @@ def add_word_timestamps(
     word_index = 0
 
     for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
+        # Walk the alignment until this segment's token budget is spent;
+        # entries emptied by merge_punctuations still count their tokens.
         saved_tokens = 0
         words = []
         while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):
@@ -377,39 +469,10 @@ def add_word_timestamps(
             word_index += 1
 
         if len(words) > 0:
-            # First word after a pause must not be implausibly long.
-            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
-                words[0]["end"] - words[0]["start"] > max_duration
-                or (
-                    len(words) > 1
-                    and words[1]["end"] - words[0]["start"] > max_duration * 2
-                )
-            ):
-                if len(words) > 1 and words[1]["end"] - words[1]["start"] > max_duration:
-                    boundary = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
-                    words[0]["end"] = words[1]["start"] = boundary
-                words[0]["start"] = max(0, words[0]["end"] - max_duration)
-
-            if (
-                segment["start"] < words[0]["end"]
-                and segment["start"] - 0.5 > words[0]["start"]
-            ):
-                words[0]["start"] = max(
-                    0, min(words[0]["end"] - median_duration, segment["start"])
-                )
-            else:
-                segment["start"] = words[0]["start"]
-
-            if (
-                segment["end"] > words[-1]["start"]
-                and segment["end"] + 0.5 < words[-1]["end"]
-            ):
-                words[-1]["end"] = max(
-                    words[-1]["start"] + median_duration, segment["end"]
-                )
-            else:
-                segment["end"] = words[-1]["end"]
-
+            _shorten_first_word_after_pause(
+                words, last_speech_timestamp, median_duration, max_duration
+            )
+            _reconcile_segment_bounds(segment, words, median_duration)
             last_speech_timestamp = segment["end"]
 
         segment["words"] = words

@@ -318,8 +318,17 @@ def log_mel_spectrogram(
     if device is not None:
         audio = jax.device_put(audio, device)
     if _fused_mel_enabled():
-        from .ops.melfront import fused_log_mel_spectrogram
+        from .ops.melfront import (
+            fused_log_mel_batched,
+            fused_log_mel_spectrogram,
+        )
 
+        if audio.ndim == 1:
+            return fused_log_mel_spectrogram(audio, n_mels, padding)
+        if audio.ndim == 2:
+            # Batch-partitionable under GSPMD (ops/partition.py), so
+            # data-parallel eval keeps the kernel.
+            return fused_log_mel_batched(audio, n_mels, padding)
         fused = lambda a: fused_log_mel_spectrogram(a, n_mels, padding)
         for _ in range(audio.ndim - 1):
             fused = jax.vmap(fused)

@@ -33,8 +33,10 @@ def build_parser():
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--data_parallel", action="store_true",
-                   help="Shard the eval batch across all devices (the batch "
-                        "size must divide the device count's data axis)")
+                   help="Shard the eval batch across all devices; batches "
+                        "are padded up to a multiple of the device count "
+                        "and the padding rows discarded, so any batch size "
+                        "works")
     return p
 
 
@@ -71,19 +73,25 @@ def main(argv=None):
     loader = DataLoader(_AudioView(base), args.batch_size, shuffle=False)
 
     mesh = None
+    eff_batch = args.batch_size
     if args.data_parallel:
         from .. import parallel
 
         mesh = parallel.make_mesh(model_parallel=1)
-        model.params = parallel.shard_params(model.params, mesh)
-        print(f"Data-parallel eval over {mesh.devices.size} devices")
+        model.shard(mesh)
+        # Degrade, never refuse: pad the compiled batch shape up to a
+        # multiple of the data axis; padding rows are decoded and discarded.
+        n_data = mesh.shape[parallel.DATA_AXIS]
+        eff_batch = -(-args.batch_size // n_data) * n_data
+        print(f"Data-parallel eval over {mesh.devices.size} devices "
+              f"(batch {args.batch_size} -> {eff_batch})")
 
     options = DecodingOptions(language="en", without_timestamps=True)
     hypotheses = [None] * len(base)
     audio_seconds = len(base) * 30.0
     t0 = time.time()
     for batch in loader:
-        (audio, idx), real = pad_batch_to(batch, args.batch_size)
+        (audio, idx), real = pad_batch_to(batch, eff_batch)
         audio = jax.numpy.asarray(audio)
         if mesh is not None:
             from .. import parallel

@@ -131,16 +131,18 @@ def _compute_dtype(fp16: bool) -> str:
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "quantum"))
-def _encode_mel(params, mel, dims, compute_dtype, quantum=False):
+@functools.partial(
+    jax.jit, static_argnames=("dims", "compute_dtype", "quantum", "mesh")
+)
+def _encode_mel(params, mel, dims, compute_dtype, quantum=False, mesh=None):
     if quantum:
         from ..models.quantum import quantum_encoder_apply
 
         return quantum_encoder_apply(
-            params["encoder"], mel, dims, jnp.dtype(compute_dtype)
+            params["encoder"], mel, dims, jnp.dtype(compute_dtype), mesh=mesh
         )
     return model.encoder_apply(
-        params["encoder"], mel, dims, jnp.dtype(compute_dtype)
+        params["encoder"], mel, dims, jnp.dtype(compute_dtype), mesh=mesh
     )
 
 
@@ -150,7 +152,8 @@ def _audio_features(model_obj, mel: jnp.ndarray, fp16: bool) -> jnp.ndarray:
         return mel  # already encoded
     quantum = "qconv1" in model_obj.params["encoder"]
     return _encode_mel(
-        model_obj.params, mel, dims, _compute_dtype(fp16), quantum
+        model_obj.params, mel, dims, _compute_dtype(fp16), quantum,
+        mesh=getattr(model_obj, "mesh", None),
     )
 
 
@@ -264,6 +267,7 @@ class DecodingTask:
             else None,
             compute_dtype=_compute_dtype(options.fp16),
             kv_int8=options.kv_int8,
+            mesh=getattr(model_obj, "mesh", None),
         )
 
     # -- option/prompt resolution (reference decoding.py:572-642) -----------

@@ -50,6 +50,10 @@ class LoopConfig(NamedTuple):
     # Store the cross K/V int8-quantized (ops/decode_attn.py): halves the
     # decode loop's dominant HBM stream; opt-in, not fp-token-exact.
     kv_int8: bool = False
+    # Device mesh (hashable, so part of the static jit key): routes the
+    # encoder through the explicit tensor-parallel trunk when its model
+    # axis is > 1.  None = single-device or plain GSPMD data parallelism.
+    mesh: Optional[object] = None
     # Tokens decoded per while_loop iteration.  The loop-carried math is
     # identical for any value; unrolling amortizes the backend's fixed
     # per-iteration dispatch cost (measured ~3 ms/iteration through the TPU
@@ -66,8 +70,12 @@ def _encode_audio(params, mel, cfg: LoopConfig, quantum: bool):
     if quantum:
         from ..models.quantum import quantum_encoder_apply
 
-        return quantum_encoder_apply(params["encoder"], mel, cfg.dims, dtype)
-    return model.encoder_apply(params["encoder"], mel, cfg.dims, dtype)
+        return quantum_encoder_apply(
+            params["encoder"], mel, cfg.dims, dtype, mesh=cfg.mesh
+        )
+    return model.encoder_apply(
+        params["encoder"], mel, cfg.dims, dtype, mesh=cfg.mesh
+    )
 
 
 def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):

@@ -99,6 +99,7 @@ def quantum_encoder_apply(
     mel: jnp.ndarray,
     dims: ModelDimensions,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> jnp.ndarray:
     """Audio encoder with QuantumConv1d stem (reference QuantumAudioEncoder,
     quantum_whisper.py:130-144): conv1 (k3,p1) and conv2 (k3,s2,p1) replaced;
@@ -113,8 +114,9 @@ def quantum_encoder_apply(
     x = x.astype(compute_dtype).transpose(0, 2, 1)
     x = x + params["pos"].astype(x.dtype)
     # Shared transformer trunk (models/whisper.py): the quantum encoder gets
-    # the same tile-aligned fused-block/flash kernel paths on TPU.
-    return cmodel.transformer_trunk(params, x, dims)
+    # the same tile-aligned fused-block/flash kernel paths on TPU (and the
+    # tensor-parallel shard_map trunk when a mesh is passed).
+    return cmodel.transformer_trunk(params, x, dims, mesh=mesh)
 
 
 import functools

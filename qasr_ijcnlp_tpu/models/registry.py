@@ -62,12 +62,14 @@ _ALIGNMENT_HEADS = {
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_encoder(dims: ModelDimensions, dtype: str):
+def _jitted_encoder(dims: ModelDimensions, dtype: str, mesh=None):
     import jax
     import jax.numpy as jnp
 
     return jax.jit(
-        lambda enc, mel: _model.encoder_apply(enc, mel, dims, jnp.dtype(dtype))
+        lambda enc, mel: _model.encoder_apply(
+            enc, mel, dims, jnp.dtype(dtype), mesh=mesh
+        )
     )
 
 
@@ -96,6 +98,10 @@ class WhisperModel:
     alignment_heads: Optional[np.ndarray] = None  # (n_text_layer, n_text_head) bool
     name: str = "custom"
     compute_dtype: Any = field(default="float32")
+    # Device mesh this model is sharded over (set by .shard()); threaded
+    # into decode/encode jit keys so mesh-aware programs (the explicit
+    # tensor-parallel trunk) compile per mesh.
+    mesh: Optional[Any] = None
 
     @property
     def is_multilingual(self) -> bool:
@@ -105,8 +111,20 @@ class WhisperModel:
     def num_languages(self) -> int:
         return _model.num_languages(self.dims)
 
+    def shard(self, mesh) -> "WhisperModel":
+        """Place the params on ``mesh`` (TP/replicated specs from
+        parallel.param_specs) and pin the mesh on the model so subsequent
+        decode/transcribe calls build mesh-aware programs.  Returns self."""
+        from .. import parallel
+
+        self.params = parallel.shard_params(self.params, mesh)
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        # Cached DecodingTasks embed the old mesh in their LoopConfigs.
+        self.__dict__.pop("_qasr_task_cache", None)
+        return self
+
     def embed_audio(self, mel):
-        return _jitted_encoder(self.dims, str(self.compute_dtype))(
+        return _jitted_encoder(self.dims, str(self.compute_dtype), self.mesh)(
             self.params["encoder"], mel
         )
 

@@ -288,8 +288,15 @@ def encoder_apply(
     mel: jnp.ndarray,
     dims: ModelDimensions,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Audio encoder forward: (B, n_mels, 3000) -> (B, 1500, D)."""
+    """Audio encoder forward: (B, n_mels, 3000) -> (B, 1500, D).
+
+    ``mesh`` (a jax.sharding.Mesh) opts into the explicit tensor-parallel
+    trunk when its model axis is > 1; without it, multi-device execution
+    still works through GSPMD (the Pallas kernels batch-partition via
+    ops/partition.py).
+    """
     T = dims.n_audio_ctx
     Tp = (T + 127) // 128 * 128
     if _trunk_uses_fused_blocks(dims, jnp.dtype(compute_dtype)):
@@ -301,13 +308,13 @@ def encoder_apply(
             # tile-padded, position-added (ops/conv_stem.py).
             stem = {k: params[k] for k in ("conv1", "conv2", "pos")}
             x = fused_conv_stem(stem, mel, Tp, str(jnp.dtype(compute_dtype)))
-            return transformer_trunk(params, x, dims, t_real=T)
+            return transformer_trunk(params, x, dims, t_real=T, mesh=mesh)
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(_conv1d(x, params["conv1"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, params["conv2"], 2), approximate=False)
     x = x.transpose(0, 2, 1)  # (B, T, D)
     x = x + params["pos"].astype(x.dtype)
-    return transformer_trunk(params, x, dims)
+    return transformer_trunk(params, x, dims, mesh=mesh)
 
 
 def _trunk_uses_fused_blocks(
@@ -334,15 +341,28 @@ def transformer_trunk(
     x: jnp.ndarray,
     dims: ModelDimensions,
     t_real: Optional[int] = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Encoder transformer stack + final LN on an embedded (B, T, D) input.
 
     Shared by the classical and quantum encoders (the quantum encoder only
     swaps the conv stem, reference quantum_whisper.py:130-144), so both get
     the tile-aligned fused-block/flash kernel paths.  Pass ``t_real`` when
-    ``x`` arrives already tile-padded (rows >= t_real are zero padding)."""
+    ``x`` arrives already tile-padded (rows >= t_real are zero padding).
+
+    With ``mesh`` whose model axis is > 1 (and compatible head counts), the
+    stack runs head-sharded under shard_map (parallel/sharded.py) — the
+    attention kernel per shard plus explicit psums — instead of GSPMD
+    weight-gathering around the fused kernels.
+    """
     n_head = dims.n_audio_head
     T = t_real if t_real is not None else x.shape[1]
+
+    if mesh is not None:
+        from ..parallel import sharded as _sharded
+
+        if _sharded.tp_trunk_applicable(dims, mesh, x.shape[0]):
+            return _sharded.tp_trunk(params, x, dims, T, mesh)
 
     # On TPU, run the transformer stack at a tile-aligned sequence length
     # (1500 -> 1536): the Pallas kernels then consume every layer's (B, T, D)
@@ -695,16 +715,22 @@ def decoder_apply_with_cross_qk(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+@partial(jax.jit, static_argnames=("dims", "compute_dtype", "mesh"))
 def forward(
     params: Params,
     mel: jnp.ndarray,
     tokens: jnp.ndarray,
     dims: ModelDimensions,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Full forward (reference Whisper.forward, model.py:293-296)."""
-    xa = encoder_apply(params["encoder"], mel, dims, compute_dtype)
+    """Full forward (reference Whisper.forward, model.py:293-296).
+
+    ``mesh`` is static (a hashable jax.sharding.Mesh): passing it keys the
+    jit cache per mesh and routes the encoder through the explicit
+    tensor-parallel trunk when applicable; None = single-device or plain
+    GSPMD behavior."""
+    xa = encoder_apply(params["encoder"], mel, dims, compute_dtype, mesh=mesh)
     return decoder_apply(params["decoder"], tokens, xa, dims, compute_dtype)
 
 

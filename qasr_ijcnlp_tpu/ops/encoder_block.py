@@ -40,6 +40,7 @@ d_head in {64, 128}; covers every Whisper family member (all have dh=64).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,19 +56,43 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
-    dh = d_model // n_head
+    return (
+        # tiny/base use the resident-MLP finish kernel; small/medium
+        # (768/1024) the F-tiled one with chunked LN; large (1280) the
+        # F-tiled one with narrower (128-row, 512-col) tiles so the block
+        # set fits VMEM.  Whole family covered.
+        d_model <= 1280
+        # the F-tiled finish (D > 512) streams FT-wide MLP column blocks
+        and (d_model <= 512 or (4 * d_model) % _finish_tiles(d_model)[1] == 0)
+        and t_pad % MT == 0
+        and attn_applicable(n_head, d_model, t_pad)
+    )
+
+
+def _finish_tiles(d_model: int):
+    """(row tile MT2, MLP column tile FT) of the F-tiled finish kernel.
+
+    The resident set per grid cell is ~ D*D*2 (out-proj weight) + 3*MT2*D*2
+    (row tiles) + 2*FT*D*2*2 (double-buffered fc/proj blocks) + MT2*D*8
+    (scratch) bytes; 256/1024 fits 16 MB VMEM up to D=1024, large (1280)
+    needs the narrower 128/512 tiles."""
+    return (256, 1024) if d_model <= 1024 else (128, 512)
+
+
+def attn_applicable(
+    n_head: int, d_model: int, t_pad: int, d_head: Optional[int] = None
+) -> bool:
+    """Gate for the attention kernel alone (also used head-sharded by the
+    tensor-parallel trunk, parallel/sharded.py, where ``n_head`` is the
+    per-shard head count, ``d_model`` stays the full model width, and
+    ``d_head`` must be passed explicitly since d_model/n_head no longer
+    equals it)."""
+    if d_head is None:
+        d_head = d_model // n_head if d_model % n_head == 0 else 0
     return (
         d_model % 128 == 0
-        # tiny/base use the resident-MLP finish kernel; small/medium
-        # (768/1024) the F-tiled one with chunked LN.  large (1280) pushes
-        # the attention kernel's buffers past VMEM - it keeps the flash
-        # path.
-        and d_model <= 1024
-        # the F-tiled finish (D > 512) streams 1024-wide MLP columns
-        and (d_model <= 512 or (4 * d_model) % 1024 == 0)
         # heads must tile into 128-lane groups
-        and (dh == 128 or (dh == 64 and n_head % 2 == 0))
-        and t_pad % MT == 0
+        and (d_head == 128 or (d_head == 64 and n_head % 2 == 0))
         and t_pad % BQ == 0
         and t_pad % 256 == 0   # LN row-chunk size
     )
@@ -250,16 +275,21 @@ def _finish_kernel_ftiled(
     jax.jit,
     static_argnames=("n_head", "t_real", "interpret", "bq", "unroll"),
 )
-def _fused_block_impl(
-    x, bp, n_head: int, t_real: int, interpret: bool,
-    bq: int = BQ, unroll: int = 1,
+def _attn_call(
+    x, lng, lnb, wq, bqb, wk, wv, bv, *, n_head: int, t_real: int,
+    bq: int, unroll: int, interpret: bool,
 ):
+    """The attention pallas_call over ``n_head`` heads.
+
+    The projection weights are (D, n_head*dh) column slices — the full
+    model's for the fused block, a head shard's under tensor parallelism
+    (parallel/sharded.py) — so the output is (B, Tp, n_head*dh) in the same
+    head order as the weight columns.
+    """
     B, Tp, D = x.shape
     dt = x.dtype
-    dh = D // n_head
-    a = bp["attn"]
-    w = lambda p: p.astype(dt)
-
+    Dl = wq.shape[1]
+    dh = Dl // n_head
     W = 128                     # lanes per head group
     HB = W // dh                # heads per group
     const = lambda shape: pl.BlockSpec(
@@ -274,10 +304,10 @@ def _fused_block_impl(
     mask = jnp.where(jnp.arange(Tp) < t_real, 0.0, -jnp.inf).astype(
         jnp.float32
     ).reshape(1, Tp)
-    attn = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_kernel, t_real=t_real, dh=dh, bq=bq,
                           unroll=unroll),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, D), dt),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Dl), dt),
         grid=(B, n_head // HB),
         in_specs=[
             pl.BlockSpec((1, Tp, D), lambda b, h: (b, 0, 0),
@@ -294,13 +324,31 @@ def _fused_block_impl(
                         pltpu.VMEM((Tp, 2 * W), dt),  # [v | ones] per head
                         pltpu.VMEM((Tp, W), dt)],     # k
         interpret=interpret,
-    )(
-        x, mask,
+    )(x, mask, lng, lnb, wq, bqb, wk, wv, bv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "t_real", "interpret", "bq", "unroll"),
+)
+def _fused_block_impl(
+    x, bp, n_head: int, t_real: int, interpret: bool,
+    bq: int = BQ, unroll: int = 1,
+):
+    B, Tp, D = x.shape
+    dt = x.dtype
+    a = bp["attn"]
+    w = lambda p: p.astype(dt)
+
+    attn = _attn_call(
+        x,
         bp["attn_ln"]["g"].reshape(1, D).astype(jnp.float32),
         bp["attn_ln"]["b"].reshape(1, D).astype(jnp.float32),
         w(a["query"]["w"]), w(a["query"]["b"].reshape(1, D)),
         w(a["key"]["w"]),
         w(a["value"]["w"]), w(a["value"]["b"].reshape(1, D)),
+        n_head=n_head, t_real=t_real, bq=bq, unroll=unroll,
+        interpret=interpret,
     )
 
     m = bp["mlp"]
@@ -338,8 +386,7 @@ def _fused_block_impl(
 
     # D > 512: stream the MLP weights in (D, FT)/(FT, D) blocks along an
     # innermost f grid dim; smaller row tiles keep the block set in VMEM.
-    MT2 = 256
-    FT = 1024
+    MT2, FT = _finish_tiles(D)
     assert F % FT == 0 and Tp % MT2 == 0
     fconst = lambda shape: pl.BlockSpec(
         shape, lambda b, t, f: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -437,9 +484,32 @@ def fused_encoder_block(x, bp, n_head: int, t_real: int):
         bq = 256
     else:
         bq = BQ
-    return _fused_block_impl(
-        x, bp, n_head, t_real, jax.default_backend() != "tpu", bq=bq
+    return _partitioned_block(
+        x, bp, n_head, t_real, jax.default_backend() != "tpu", bq
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_block_op(n_head, t_real, interpret, bq, treedef, leaf_ndims):
+    """custom_partitioning wrapper per static block signature: under GSPMD
+    the fused block partitions along the batch dim (weights replicated)
+    instead of being an unpartitionable opaque call — see ops/partition.py."""
+    from .partition import batch_partitioned
+
+    def impl(x, *leaves):
+        bp = jax.tree.unflatten(treedef, leaves)
+        return _fused_block_impl(x, bp, n_head, t_real, interpret, bq=bq)
+
+    return batch_partitioned(impl, (3,) + tuple(leaf_ndims), 3)
+
+
+def _partitioned_block(x, bp, n_head, t_real, interpret, bq):
+    leaves, treedef = jax.tree.flatten(bp)
+    op = _sharded_block_op(
+        n_head, t_real, interpret, bq, treedef,
+        tuple(l.ndim for l in leaves),
+    )
+    return op(x, *leaves)
 
 
 def _fused_fwd(x, bp, n_head, t_real):
@@ -453,3 +523,93 @@ def _fused_bwd(n_head, t_real, res, g):
 
 
 fused_encoder_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Head-sharded attention (the tensor-parallel building block)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "t_real", "interpret", "bq")
+)
+def _attn_ln_impl(x, lnp, ap, n_head, t_real, interpret, bq):
+    D = x.shape[-1]
+    dt = x.dtype
+    w = lambda p: p.astype(dt)
+    Dl = ap["query"]["w"].shape[1]
+    return _attn_call(
+        x,
+        lnp["g"].reshape(1, D).astype(jnp.float32),
+        lnp["b"].reshape(1, D).astype(jnp.float32),
+        w(ap["query"]["w"]), w(ap["query"]["b"].reshape(1, Dl)),
+        w(ap["key"]["w"]),
+        w(ap["value"]["w"]), w(ap["value"]["b"].reshape(1, Dl)),
+        n_head=n_head, t_real=t_real, bq=bq, unroll=1, interpret=interpret,
+    )
+
+
+def _xla_attn_ln(x, lnp, ap, n_head: int, t_real: int):
+    """XLA formulation of LN + QKV + masked softmax attention over the heads
+    whose weight columns are in ``ap`` (backward pass and numerics oracle
+    for :func:`fused_attention_ln`; also the tensor-parallel trunk's
+    fallback when the kernel gate fails)."""
+    B, Tp, D = x.shape
+    dt = x.dtype
+    Dl = ap["query"]["w"].shape[1]
+    dh = Dl // n_head
+    scale = dt.type(dh ** -0.25)
+    h = _ln_f32(x, lnp["g"].astype(jnp.float32), lnp["b"].astype(jnp.float32))
+    q = (h @ ap["query"]["w"].astype(dt)
+         + ap["query"]["b"].astype(dt)) * scale
+    k = (h @ ap["key"]["w"].astype(dt)) * scale
+    v = h @ ap["value"]["w"].astype(dt) + ap["value"]["b"].astype(dt)
+    split = lambda z: z.reshape(B, Tp, n_head, dh).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", split(q), split(k)
+    ).astype(jnp.float32)
+    if t_real != Tp:
+        logits = jnp.where(jnp.arange(Tp) < t_real, logits, -jnp.inf)
+    wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bhkd->bhqd", wgt, split(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, Tp, Dl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_ln(x, lnp, ap, n_head: int, t_real: int):
+    """LN + QKV projection + softmax(QK^T)V over ``n_head`` heads (stopping
+    before the output projection), as one Pallas kernel.
+
+    This is the tensor-parallel building block (parallel/sharded.py): under
+    a (data, model) mesh each model shard calls it with its own head shard's
+    (D, D/tp) weight columns — the kernel's (batch, head-group) grid simply
+    runs with fewer head groups, so TP costs zero extra kernel work.  Gate
+    with :func:`attn_applicable`.  Backward runs through the XLA
+    formulation (custom VJP), so the TP trunk trains with the kernel on the
+    forward path.
+    """
+    Tp, D = x.shape[1], x.shape[-1]
+    if D <= 384 and Tp % 512 == 0:
+        bq = 512
+    elif D <= 768 and Tp % 256 == 0:
+        bq = 256
+    else:
+        bq = BQ
+    return _attn_ln_impl(
+        x, lnp, ap, n_head, t_real, jax.default_backend() != "tpu", bq
+    )
+
+
+def _attn_ln_fwd(x, lnp, ap, n_head, t_real):
+    return fused_attention_ln(x, lnp, ap, n_head, t_real), (x, lnp, ap)
+
+
+def _attn_ln_bwd(n_head, t_real, res, g):
+    x, lnp, ap = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _xla_attn_ln(a, b, c, n_head, t_real), x, lnp, ap
+    )
+    return vjp(g)
+
+
+fused_attention_ln.defvjp(_attn_ln_fwd, _attn_ln_bwd)

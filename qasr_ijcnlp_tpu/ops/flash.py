@@ -71,7 +71,19 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     identical XLA formulation (the kernel saves no softmax residuals), so
     encoder training works with the kernel on the forward path.
     """
-    return _flash_attention(q, k, v, jax.default_backend() != "tpu")
+    return _sharded_flash_op(jax.default_backend() != "tpu")(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_flash_op(interpret: bool):
+    """Batch-partitioned 4D flash kernel (ops/partition.py): q/k/v and the
+    output share the leading batch dim under GSPMD."""
+    from .partition import batch_partitioned
+
+    def impl(q, k, v):
+        return _flash_attention(q, k, v, interpret)
+
+    return batch_partitioned(impl, (4, 4, 4), 4, n_batched=3)
 
 
 def _xla_attention(q, k, v):
@@ -151,8 +163,21 @@ def flash_attention_packed(q, k, v, n_head: int, t_real: int):
     the whole encoder at a tile-aligned padded length); query rows >= t_real
     compute unmasked garbage the caller slices away.
     """
-    return _flash_packed(q, k, v, n_head, t_real,
-                         jax.default_backend() != "tpu")
+    op = _sharded_flash_packed_op(
+        n_head, t_real, jax.default_backend() != "tpu"
+    )
+    return op(q, k, v)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_flash_packed_op(n_head: int, t_real: int, interpret: bool):
+    """Batch-partitioned packed flash kernel (ops/partition.py)."""
+    from .partition import batch_partitioned
+
+    def impl(q, k, v):
+        return _flash_packed(q, k, v, n_head, t_real, interpret)
+
+    return batch_partitioned(impl, (3, 3, 3), 3, n_batched=3)
 
 
 def _xla_attention_packed(q, k, v, n_head, t_real):

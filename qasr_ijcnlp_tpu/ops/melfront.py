@@ -115,3 +115,23 @@ def fused_log_mel_spectrogram(
     log_spec = log_spec[:, :-1]  # reference drops the final frame
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
     return (log_spec + 4.0) / 4.0
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_mel_op(n_mels: int, padding: int):
+    """Batch-partitioned vmapped mel kernel (ops/partition.py): under GSPMD
+    each data shard computes its own rows' spectrograms."""
+    from .partition import batch_partitioned
+
+    def impl(audio2d):
+        return jax.vmap(
+            lambda a: fused_log_mel_spectrogram(a, n_mels, padding)
+        )(audio2d)
+
+    return batch_partitioned(impl, (2,), 3)
+
+
+def fused_log_mel_batched(audio2d, n_mels: int = 80, padding: int = 0):
+    """Batched (B, n_samples) -> (B, n_mels, n_frames) fused mel; the
+    per-clip max clamp matches the reference's per-item computation."""
+    return _sharded_mel_op(n_mels, padding)(audio2d)

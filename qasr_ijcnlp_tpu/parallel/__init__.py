@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -70,26 +71,8 @@ def make_mesh(
         model_parallel = max(
             d for d in range(1, min(model_parallel, n) + 1) if n % d == 0
         )
-    if n > 1:
-        _disable_unpartitionable_kernels()
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, axis_names)
-
-
-def _disable_unpartitionable_kernels() -> None:
-    """GSPMD cannot partition opaque Pallas custom calls: under a multi-
-    device mesh they would be replicated (all-gathering their operands)
-    instead of sharded.  Any path that builds a real mesh therefore pins
-    the encoder kernels and fused mel OFF for the process — the XLA
-    formulations partition cleanly and the kernels' single-chip win is
-    irrelevant once the model is sharded."""
-    from ..models import whisper as _w
-    from .. import audio as _a
-
-    if _w._USE_FLASH is None:
-        _w.set_flash_attention(False)
-    if _a._USE_FUSED_MEL is None:
-        _a.set_fused_mel(False)
 
 
 # ---------------------------------------------------------------------------
@@ -193,3 +176,38 @@ def named_sharding_tree(params, mesh: Mesh):
         lambda s: NamedSharding(mesh, s), param_specs(params, mesh),
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def encoder_block_specs(blocks) -> Any:
+    """PartitionSpecs for a stacked encoder block pytree alone (paths are
+    relative: ('attn', 'query', 'w'), ...) — the in_specs for the
+    shard_map-wrapped tensor-parallel trunk (parallel/sharded.py)."""
+
+    def spec(path, leaf):
+        rule = _BLOCK_RULES.get(_path_keys(path))
+        return rule if rule is not None else P()
+
+    return jax.tree_util.tree_map_with_path(spec, blocks)
+
+
+from . import sharded  # noqa: E402  (shard_map tensor-parallel trunk)
+
+
+def pad_batch_to_mesh(batch, mesh: Mesh):
+    """Pad the leading dim of ``batch`` array(s) up to a multiple of the
+    mesh's data-axis extent by repeating the last row; returns (padded,
+    real_count).  Sharding must degrade, never refuse: callers slice their
+    per-row results back to ``real_count`` (e.g. a batch of 10 on 8 devices
+    evaluates as 16 rows and discards 6)."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def pad(x):
+        b = x.shape[0]
+        target = -(-b // n_data) * n_data
+        if target == b:
+            return x
+        reps = jnp.repeat(x[-1:], target - b, axis=0)
+        return jnp.concatenate([x, reps], axis=0)
+
+    real = jax.tree.leaves(batch)[0].shape[0]
+    return jax.tree.map(pad, batch), real

@@ -1,0 +1,131 @@
+"""Tensor-parallel encoder trunk under ``jax.shard_map``.
+
+Under pure data parallelism the Pallas kernels partition automatically
+(``ops/partition.py`` batch-partitions them through GSPMD).  Tensor
+parallelism is different: the fused encoder block computes LN + QKV +
+attention + MLP as opaque kernels over the FULL model width, so GSPMD's only
+legal move is to all-gather the head-sharded weights around each call.  This
+module is the mesh-aware path that keeps the kernels *sharded*:
+
+* the whole trunk runs inside one ``shard_map`` over the (data, model) mesh;
+* each model shard calls the attention kernel (ops/encoder_block.py
+  ``fused_attention_ln``) with its OWN (D, D/tp) head columns — the kernel's
+  (batch, head-group) grid just runs with fewer head groups;
+* the output projection and MLP second matmul are row-parallel: each shard
+  contributes a partial (B, T, D) product and one ``psum`` over the model
+  axis completes it — exactly the two collectives per block that
+  column/row-parallel transformer sharding requires (same decomposition
+  GSPMD derives for the XLA formulation, here made explicit so the kernels
+  survive).
+
+Numerics match the unfused single-device block to float-reassociation level
+(tests/test_shardmap_kernels.py pins parity on the 8-virtual-device CPU
+mesh, kernels in interpret mode).  Backward works: ``fused_attention_ln``
+carries a custom VJP through the XLA formulation and ``psum`` transposes
+under shard_map, so the sharded train step can run with kernels on.
+
+Replaces (capability the reference lacks): the torch SDPA block at
+/root/reference/whisper/whisper/model.py:111-146 under SURVEY.md §2.5's
+mesh requirement.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from . import DATA_AXIS, MODEL_AXIS, encoder_block_specs
+
+
+def mesh_axis_sizes(mesh: Mesh):
+    shape = dict(mesh.shape)
+    return shape.get(DATA_AXIS, 1), shape.get(MODEL_AXIS, 1)
+
+
+def tp_trunk_applicable(dims, mesh: Mesh, batch: int) -> bool:
+    """The head-sharded trunk needs: a model axis > 1, heads and MLP width
+    divisible by it, and a batch divisible by the data axis (shard_map has
+    no ragged shards; non-dividing batches fall back to GSPMD)."""
+    dp, tp = mesh_axis_sizes(mesh)
+    return (
+        tp > 1
+        and dims.n_audio_head % tp == 0
+        and (4 * dims.n_audio_state) % tp == 0
+        and batch % dp == 0
+    )
+
+
+def tp_trunk(params, x, dims, t_real: int, mesh: Mesh):
+    """Head-sharded encoder trunk: (B, T, D) -> (B, T, D) over ``mesh``.
+
+    ``params`` is the encoder tree (blocks + ln_post) with leaves sharded by
+    :func:`parallel.param_specs` (column-parallel QKV/fc, row-parallel
+    out/proj); ``x`` is batch-sharded along the data axis.
+    """
+    from ..models import whisper as w
+    from ..ops import encoder_block as eb
+
+    dp, tp = mesh_axis_sizes(mesh)
+    T = t_real
+    Tp = (T + 127) // 128 * 128
+    nh_local = dims.n_audio_head // tp
+    dh = dims.n_audio_state // dims.n_audio_head
+    dt = x.dtype
+
+    use_kernel = (
+        w._flash_enabled()
+        and Tp >= 512
+        and eb.attn_applicable(nh_local, dims.n_audio_state, Tp, d_head=dh)
+        and (dt == jnp.bfloat16 or jax.default_backend() != "tpu")
+    )
+
+    def body(blocks, lnp, xx):
+        if use_kernel and xx.shape[1] != Tp:
+            xx = jnp.pad(xx, ((0, 0), (0, Tp - xx.shape[1]), (0, 0)))
+        t_mask = T if use_kernel else xx.shape[1]
+
+        def layer(xc, bp):
+            if use_kernel:
+                ao = eb.fused_attention_ln(
+                    xc, bp["attn_ln"], bp["attn"], nh_local, T
+                )
+            else:
+                ao = eb._xla_attn_ln(
+                    xc, bp["attn_ln"], bp["attn"], nh_local, t_mask
+                )
+            part = ao @ bp["attn"]["out"]["w"].astype(dt)
+            xc = xc + (
+                jax.lax.psum(part, MODEL_AXIS)
+                + bp["attn"]["out"]["b"].astype(dt)
+            )
+            h = w.layer_norm(xc, bp["mlp_ln"])
+            t = jax.nn.gelu(
+                h @ bp["mlp"]["fc"]["w"].astype(dt)
+                + bp["mlp"]["fc"]["b"].astype(dt),
+                approximate=False,
+            )
+            xc = xc + (
+                jax.lax.psum(t @ bp["mlp"]["proj"]["w"].astype(dt), MODEL_AXIS)
+                + bp["mlp"]["proj"]["b"].astype(dt)
+            )
+            return xc, None
+
+        xx, _ = jax.lax.scan(w._maybe_remat(layer), xx, blocks)
+        if xx.shape[1] != T:
+            xx = xx[:, :T]
+        return w.layer_norm(xx, lnp)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            encoder_block_specs(params["blocks"]),
+            jax.tree.map(lambda _: P(), params["ln_post"]),
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )(params["blocks"], params["ln_post"], x)

@@ -57,8 +57,14 @@ class BatchingTranscriber:
         batch_size: int = 16,
         max_wait_ms: float = 25.0,
         options: Optional[DecodingOptions] = None,
-        workers: int = 2,
+        workers: int = 1,
     ):
+        # workers=2 pipelines the host->device upload of one micro-batch
+        # under the device compute of the previous one (~15% throughput on a
+        # local chip), but two threads entering the JAX runtime at once
+        # intermittently crashes tunneled/remote device backends with a bare
+        # C++ terminate (NOTES_ROUND2 "container gotchas").  Default to the
+        # always-safe single worker; opt into 2 on directly-attached chips.
         self.model = model
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
@@ -171,6 +177,8 @@ class BatchingTranscriber:
                     p.event.set()
             except Exception as e:  # propagate per-request
                 for p in batch:
+                    if p.event.is_set():
+                        continue  # already answered before the failure
                     p.error = f"{type(e).__name__}: {e}"
                     p.event.set()
 
@@ -192,7 +200,24 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
     return audio
 
 
+# Decode options the long-form pipeline accepts verbatim (transcribe()
+# forwards unknown kwargs into per-window DecodingOptions).  Excluded on
+# purpose: temperature (transcribe owns the fallback ladder),
+# without_timestamps (segmentation needs timestamp tokens), prompt/prefix
+# (long-form builds its own rolling prompt).
+_FORWARDED_OPTIONS = (
+    "language", "task", "beam_size", "patience", "best_of", "length_penalty",
+    "suppress_tokens", "suppress_blank", "fp16", "kv_int8", "prompt_bucket",
+    "sample_len",
+)
+
+
 def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
+    """kwargs for transcribe() on >30 s / streaming requests.
+
+    Every decode option the server was configured with carries over, so a
+    request decodes with the same beam width/precision whether it is 3 s
+    (micro-batcher) or 3 min (long-form)."""
     kwargs = {
         "word_timestamps": query.get("word_timestamps", ["0"])[0]
         in ("1", "true"),
@@ -203,10 +228,12 @@ def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
     sl = query.get("sample_len", [None])[0]
     if sl:
         kwargs["sample_len"] = int(sl)  # bound per-window decode length
-    if options is not None and options.language:
-        kwargs["language"] = options.language
-    if options is not None and options.task != "transcribe":
-        kwargs["task"] = options.task
+    if options is not None:
+        defaults = DecodingOptions()
+        for name in _FORWARDED_OPTIONS:
+            value = getattr(options, name)
+            if value is not None and value != getattr(defaults, name):
+                kwargs.setdefault(name, value)  # query params win
     return kwargs
 
 
@@ -293,23 +320,45 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     )
                     self.wfile.flush()
 
+                # The decode runs in a worker thread and pushes chunks to a
+                # queue drained HERE, outside long_lock: a slow or dead
+                # streaming client stalls only its own handler thread, never
+                # the process-wide long-form pipeline (it previously wrote
+                # to the client socket from inside the lock).  A dead socket
+                # surfaces as a send error after the timeout below.
+                self.connection.settimeout(30.0)
+                chunks: "queue.Queue" = queue.Queue()
+
+                def run():
+                    try:
+                        with long_lock:
+                            result = _long_transcribe(
+                                transcriber.model, audio,
+                                on_segments=lambda segs, prog: chunks.put(
+                                    {"segments": segs, "progress": prog}
+                                ),
+                                **_long_form_kwargs(options, query),
+                            )
+                        chunks.put({
+                            "done": True,
+                            "text": result["text"],
+                            "language": result["language"],
+                        })
+                    except Exception as e:
+                        chunks.put({"error": f"{type(e).__name__}: {e}"})
+                    chunks.put(None)
+
+                worker = threading.Thread(target=run, daemon=True)
+                worker.start()
                 try:
-                    with long_lock:
-                        result = _long_transcribe(
-                            transcriber.model, audio,
-                            on_segments=lambda segs, prog: emit(
-                                {"segments": segs, "progress": prog}
-                            ),
-                            **_long_form_kwargs(options, query),
-                        )
-                    emit({
-                        "done": True,
-                        "text": result["text"],
-                        "language": result["language"],
-                    })
-                except Exception as e:
-                    emit({"error": f"{type(e).__name__}: {e}"})
-                self.wfile.write(b"0\r\n\r\n")
+                    while (obj := chunks.get()) is not None:
+                        emit(obj)
+                    self.wfile.write(b"0\r\n\r\n")
+                except OSError:
+                    # Client went away mid-stream; let the decode finish and
+                    # discard the rest.
+                    while chunks.get() is not None:
+                        pass
             else:
                 self._send(404, {"error": "not found"})
 

@@ -95,12 +95,20 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     return TrainState(params, opt_state, put(state.step, P()))
 
 
-def whisper_loss_fn(dims: ModelDimensions, compute_dtype="float32") -> Callable:
-    """(params, mel, tokens) -> scalar next-token CE (ignore −100)."""
+def whisper_loss_fn(
+    dims: ModelDimensions, compute_dtype="float32", mesh: Optional[Mesh] = None
+) -> Callable:
+    """(params, mel, tokens) -> scalar next-token CE (ignore −100).
+
+    Pass the training ``mesh`` to route the encoder through the explicit
+    tensor-parallel shard_map trunk (parallel/sharded.py); without it the
+    step still shards correctly via GSPMD propagation."""
 
     def loss_fn(params, mel, tokens):
         inputs = jnp.maximum(tokens, 0)  # −100 pads are placeholders, masked in CE
-        logits = model.forward(params, mel, inputs, dims, jnp.dtype(compute_dtype))
+        logits = model.forward(
+            params, mel, inputs, dims, jnp.dtype(compute_dtype), mesh=mesh
+        )
         return shifted_token_loss(logits, tokens)
 
     return loss_fn

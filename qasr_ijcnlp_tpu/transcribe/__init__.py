@@ -43,30 +43,134 @@ from ..utils import exact_div, format_timestamp, get_end, make_safe
 
 _PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
+# Word-level anomaly scoring rules: (name, condition, score contribution)
+# over a word's (probability, duration).  Behavior spec ported verbatim from
+# the reference's empirically tuned constants
+# (/root/reference/whisper/whisper/transcribe.py:225-235) — the thresholds
+# and weights ARE the contract; the word-timing parity tests pin them.
+_WORD_ANOMALY_RULES = (
+    ("improbable", lambda p, d: 1.0 if p < 0.15 else 0.0),
+    ("too_short", lambda p, d: (0.133 - d) * 15 if d < 0.133 else 0.0),
+    ("too_long", lambda p, d: d - 2.0 if d > 2.0 else 0.0),
+)
+
+# A segment is anomalous when its first (up to) 8 non-punctuation words
+# accumulate a rule score >= this, or >= (word count - 0.01).
+_SEGMENT_ANOMALY_SCORE = 3.0
+_SEGMENT_ANOMALY_WORDS = 8
+
 
 def _word_anomaly_score(word: dict) -> float:
     probability = word.get("probability", 0.0)
     duration = word["end"] - word["start"]
-    score = 0.0
-    if probability < 0.15:
-        score += 1.0
-    if duration < 0.133:
-        score += (0.133 - duration) * 15
-    if duration > 2.0:
-        score += duration - 2.0
-    return score
+    return sum(rule(probability, duration) for _, rule in _WORD_ANOMALY_RULES)
 
 
 def _is_segment_anomaly(segment: Optional[dict]) -> bool:
     if segment is None or not segment["words"]:
         return False
-    words = [w for w in segment["words"] if w["word"] not in _PUNCTUATION][:8]
-    score = sum(_word_anomaly_score(w) for w in words)
-    return score >= 3 or score + 0.01 >= len(words)
+    scored = [
+        w for w in segment["words"] if w["word"] not in _PUNCTUATION
+    ][:_SEGMENT_ANOMALY_WORDS]
+    total = sum(_word_anomaly_score(w) for w in scored)
+    return total >= _SEGMENT_ANOMALY_SCORE or total + 0.01 >= len(scored)
 
 
 def _next_words_segment(segments: List[dict]) -> Optional[dict]:
     return next((s for s in segments if s["words"]), None)
+
+
+class _HallucinationSkipper:
+    """Silence-gated hallucination suppression for the sequential seek loop.
+
+    The thresholds, condition ordering and seek arithmetic are a ported
+    behavior spec (reference transcribe.py:418-475, constants preserved:
+    re-deriving them would drift transcript parity), organized as three
+    named rules over one window's segments.  Each rule returns a new seek
+    position in frames, or None to leave the seek alone.
+    """
+
+    def __init__(self, threshold: float, window_start: float,
+                 window_end: float, previous_seek: int, segment_size: int,
+                 segment_duration: float, content_duration: float,
+                 content_frames: int):
+        self.threshold = threshold
+        self.window_start = window_start
+        self.window_end = window_end
+        self.previous_seek = previous_seek
+        self.segment_size = segment_size
+        self.segment_duration = segment_duration
+        self.content_duration = content_duration
+        self.content_frames = content_frames
+
+    def trailing_silence_seek(self, segments: List[dict]) -> Optional[int]:
+        """A silent tail longer than the threshold after the last word:
+        re-seek to the word end (skip decoding the silence); a short tail
+        re-seeks to the window end instead."""
+        last_word_end = get_end(segments)
+        if last_word_end is None or last_word_end <= self.window_start:
+            return None
+        if self.window_end - last_word_end > self.threshold:
+            return round(last_word_end * FRAMES_PER_SECOND)
+        return self.previous_seek + self.segment_size
+
+    def leading_anomaly_seek(self, segments: List[dict]) -> Optional[int]:
+        """An anomalous first voiced segment preceded by a silent gap longer
+        than the threshold: drop the whole window and re-decode from the
+        gap's end."""
+        first = _next_words_segment(segments)
+        if first is None or not _is_segment_anomaly(first):
+            return None
+        gap = first["start"] - self.window_start
+        if gap > self.threshold:
+            return self.previous_seek + round(gap * FRAMES_PER_SECOND)
+        return None
+
+    def drop_surrounded_anomaly(
+        self, segments: List[dict], last_speech_timestamp: float
+    ) -> Optional[Tuple[int, int]]:
+        """An anomalous segment with silence on BOTH sides is a
+        hallucination: returns (new_seek, index) — the caller truncates the
+        window's segments from ``index`` and re-seeks into the silence
+        (clamped past the window start; jumped to the stream end when the
+        remaining audio is below the threshold)."""
+        prev_speech_end = last_speech_timestamp
+        for i, segment in enumerate(segments):
+            if not segment["words"]:
+                continue
+            if _is_segment_anomaly(segment):
+                following = _next_words_segment(segments[i + 1:])
+                if following is not None:
+                    next_speech_start = following["words"][0]["start"]
+                else:
+                    next_speech_start = self.window_start + self.segment_duration
+                if self._silence_before(segment, prev_speech_end) and \
+                        self._silence_after(segment, next_speech_start,
+                                            following):
+                    seek = round(
+                        max(self.window_start + 1, segment["start"])
+                        * FRAMES_PER_SECOND
+                    )
+                    if self.content_duration - segment["end"] < self.threshold:
+                        seek = self.content_frames
+                    return seek, i
+            prev_speech_end = segment["end"]
+        return None
+
+    def _silence_before(self, segment: dict, prev_speech_end: float) -> bool:
+        return (
+            segment["start"] - prev_speech_end > self.threshold
+            or segment["start"] < self.threshold
+            or segment["start"] - self.window_start < 2.0
+        )
+
+    def _silence_after(self, segment: dict, next_speech_start: float,
+                       following: Optional[dict]) -> bool:
+        return (
+            next_speech_start - segment["end"] > self.threshold
+            or _is_segment_anomaly(following)
+            or self.window_end - segment["end"] < 2.0
+        )
 
 
 class _Session:
@@ -244,12 +348,23 @@ def _transcribe_batched(
     logprob_threshold: Optional[float],
     verbose: Optional[bool],
     mel_dev=None,
+    seek_clips: Optional[List[Tuple[int, int]]] = None,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    initial_prompt_tokens: Tuple[int, ...] = (),
 ) -> None:
     """Fixed-stride windows decoded as device batches (one compiled shape).
 
     The sequential loop's data-dependent seek/prompt coupling is dropped -
     window w covers frames [w*N_FRAMES, (w+1)*N_FRAMES); windows failing the
     quality gates re-decode individually through the temperature ladder.
+    ``initial_prompt_tokens`` condition EVERY window identically (there is
+    no rolling transcript to condition on); ``seek_clips`` restricts the
+    fixed-stride windows to the requested sub-ranges; ``word_timestamps``
+    runs the cross-attention DTW alignment per committed window, exactly as
+    the sequential path does (the alignment never feeds back into seek
+    here, because there is no seek).
 
     With ``mel_dev`` (the device-resident full-audio mel) the windows are
     gathered on device in ONE jitted call — the previous per-window
@@ -258,7 +373,23 @@ def _transcribe_batched(
     """
     from ..decode import decode as _decode
 
-    starts = list(range(0, max(content_frames, 1), N_FRAMES))
+    if initial_prompt_tokens:
+        # the temperature-ladder re-decodes go through session.options
+        session.options = {
+            **session.options, "prompt": list(initial_prompt_tokens)
+        }
+    if seek_clips:
+        starts, seg_sizes = [], {}
+        for clip_start, clip_end in seek_clips:
+            end = min(clip_end, content_frames)
+            for s in range(clip_start, max(end, clip_start + 1), N_FRAMES):
+                starts.append(s)
+                seg_sizes[s] = max(min(N_FRAMES, content_frames - s, end - s), 1)
+    else:
+        starts = list(range(0, max(content_frames, 1), N_FRAMES))
+        seg_sizes = {
+            s: min(N_FRAMES, max(content_frames - s, 1)) for s in starts
+        }
     segments_by_window: dict = {}
 
     for chunk_start in range(0, len(starts), max_batch):
@@ -286,6 +417,8 @@ def _transcribe_batched(
                 )
         opts = dict(session.options)
         opts.pop("prompt", None)
+        if initial_prompt_tokens:
+            opts["prompt"] = list(initial_prompt_tokens)
         results = _decode(
             session.model, mels,
             DecodingOptions(**opts, temperature=session.temperatures[0]),
@@ -316,8 +449,27 @@ def _transcribe_batched(
                 continue
         session.seek = s
         time_offset = float(s * HOP_LENGTH / SAMPLE_RATE)
-        segment_size = min(N_FRAMES, content_frames - s)
+        segment_size = seg_sizes[s]
         segments, _, _ = session.segment_window(result, time_offset, segment_size)
+        if word_timestamps and segments:
+            mel_seg = _gather_windows(
+                mel_dev, jnp.asarray([s], jnp.int32)
+            )[0] if mel_dev is not None else pad_or_trim(
+                jnp.asarray(mel[:, s : s + segment_size]), N_FRAMES
+            )
+            add_word_timestamps(
+                segments=segments,
+                model_obj=session.model,
+                tokenizer=session.tokenizer,
+                mel=mel_seg,
+                num_frames=segment_size,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                last_speech_timestamp=session.last_speech_timestamp,
+            )
+            last_word_end = get_end(segments)
+            if last_word_end is not None:
+                session.last_speech_timestamp = last_word_end
         if verbose:
             for seg in segments:
                 print(make_safe(
@@ -358,7 +510,10 @@ def transcribe(
     sequential seek loop.  Implies no cross-window prompt conditioning and
     fixed window boundaries; per-window temperature fallback still applies
     (failed windows are re-decoded individually).  An int >= 2, or True for
-    batches of 64.
+    batches of 64.  ``word_timestamps``, ``clip_timestamps`` and
+    ``initial_prompt`` (applied identically to every window) are honored in
+    the batched path; ``hallucination_silence_threshold`` is inherently a
+    seek-loop feature and warns + is ignored.
 
     ``on_segments(new_segments, progress_seconds)`` is called after every
     committed window - the streaming hook used by serving's chunked
@@ -442,10 +597,22 @@ def transcribe(
         initial_prompt_tokens = []
 
     if batch_windows:
+        if hallucination_silence_threshold is not None:
+            warnings.warn(
+                "hallucination_silence_threshold adjusts the seek position "
+                "from word timings, which requires the sequential seek loop; "
+                "it is IGNORED under batch_windows. Pass batch_windows=False "
+                "to enable hallucination skipping."
+            )
         max_batch = 64 if batch_windows is True else max(int(batch_windows), 2)
         _transcribe_batched(
             session, None, content_frames, max_batch, no_speech_threshold,
             logprob_threshold, verbose, mel_dev=mel_dev,
+            seek_clips=seek_clips,
+            word_timestamps=word_timestamps,
+            prepend_punctuations=prepend_punctuations,
+            append_punctuations=append_punctuations,
+            initial_prompt_tokens=tuple(initial_prompt_tokens),
         )
         return dict(
             text=tokenizer.decode(
@@ -513,62 +680,32 @@ def transcribe(
                         session.seek = round(last_word_end * FRAMES_PER_SECOND)
 
                 if hallucination_silence_threshold is not None:
-                    threshold = hallucination_silence_threshold
+                    skipper = _HallucinationSkipper(
+                        threshold=hallucination_silence_threshold,
+                        window_start=time_offset,
+                        window_end=window_end_time,
+                        previous_seek=previous_seek,
+                        segment_size=segment_size,
+                        segment_duration=segment_duration,
+                        content_duration=content_duration,
+                        content_frames=content_frames,
+                    )
                     if not single_ts_ending:
-                        last_word_end = get_end(current_segments)
-                        if last_word_end is not None and last_word_end > time_offset:
-                            remaining_duration = window_end_time - last_word_end
-                            if remaining_duration > threshold:
-                                session.seek = round(
-                                    last_word_end * FRAMES_PER_SECOND
-                                )
-                            else:
-                                session.seek = previous_seek + segment_size
+                        seek = skipper.trailing_silence_seek(current_segments)
+                        if seek is not None:
+                            session.seek = seek
 
-                    first_segment = _next_words_segment(current_segments)
-                    if first_segment is not None and _is_segment_anomaly(
-                        first_segment
-                    ):
-                        gap = first_segment["start"] - time_offset
-                        if gap > threshold:
-                            session.seek = previous_seek + round(
-                                gap * FRAMES_PER_SECOND
-                            )
-                            continue
+                    seek = skipper.leading_anomaly_seek(current_segments)
+                    if seek is not None:
+                        session.seek = seek
+                        continue  # nothing in this window is trustworthy
 
-                    # skip hallucinations surrounded by silence
-                    hal_last_end = session.last_speech_timestamp
-                    for si, segment in enumerate(current_segments):
-                        if not segment["words"]:
-                            continue
-                        if _is_segment_anomaly(segment):
-                            next_segment = _next_words_segment(
-                                current_segments[si + 1 :]
-                            )
-                            if next_segment is not None:
-                                hal_next_start = next_segment["words"][0]["start"]
-                            else:
-                                hal_next_start = time_offset + segment_duration
-                            silence_before = (
-                                segment["start"] - hal_last_end > threshold
-                                or segment["start"] < threshold
-                                or segment["start"] - time_offset < 2.0
-                            )
-                            silence_after = (
-                                hal_next_start - segment["end"] > threshold
-                                or _is_segment_anomaly(next_segment)
-                                or window_end_time - segment["end"] < 2.0
-                            )
-                            if silence_before and silence_after:
-                                session.seek = round(
-                                    max(time_offset + 1, segment["start"])
-                                    * FRAMES_PER_SECOND
-                                )
-                                if content_duration - segment["end"] < threshold:
-                                    session.seek = content_frames
-                                current_segments[si:] = []
-                                break
-                        hal_last_end = segment["end"]
+                    dropped = skipper.drop_surrounded_anomaly(
+                        current_segments, session.last_speech_timestamp
+                    )
+                    if dropped is not None:
+                        session.seek, keep_until = dropped
+                        current_segments[keep_until:] = []
 
                 last_word_end = get_end(current_segments)
                 if last_word_end is not None:

@@ -28,7 +28,49 @@ def stem_params():
 def test_applicability():
     assert stem_applicable(80, 3000, 1500, 1536)
     assert not stem_applicable(80, 3000, 1400, 1536)  # wrong stride ratio
-    assert not stem_applicable(80, 3000, 1500, 1536, 768)  # VMEM gate
+    assert stem_applicable(80, 3000, 1500, 1536, 768)   # chunked variant
+    assert stem_applicable(128, 3000, 1500, 1536, 1024)
+    assert not stem_applicable(128, 3000, 1500, 1536, 1280)  # VMEM gate
+    assert not stem_applicable(80, 3000, 1500, 1000, 768)  # chunk-misaligned
+
+
+def _wide_stem_params(d_model, n_mels=80, seed=4):
+    import math
+
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 5)
+
+    def conv_init(kk, out_c, in_c, width):
+        bound = 1.0 / math.sqrt(in_c * width)
+        k1, k2 = jax.random.split(kk)
+        return {
+            "w": jax.random.uniform(
+                k1, (out_c, in_c, width), jnp.float32, -bound, bound
+            ),
+            "b": jax.random.uniform(k2, (out_c,), jnp.float32, -bound, bound),
+        }
+
+    return {
+        "conv1": conv_init(ks[0], d_model, n_mels, 3),
+        "conv2": conv_init(ks[1], d_model, d_model, 3),
+        "pos": jax.random.normal(ks[2], (1500, d_model)) * 0.02,
+    }
+
+
+@pytest.mark.parametrize("d_model", [768, 1024])
+def test_stem_chunked_matches_xla(d_model):
+    """D > 512 routes to the time-chunked kernel (VERDICT r2 item 4): the
+    overlapping-slab taps must reproduce the conv boundary semantics
+    exactly, including the zero left-padding row of conv2."""
+    params = _wide_stem_params(d_model)
+    mel = jax.random.normal(jax.random.PRNGKey(11), (1, 80, 3000),
+                            jnp.float32)
+    y_k = fused_conv_stem(params, mel, 1536, "float32")
+    y_x = _xla_stem(params, mel, 1536, "float32")
+    np.testing.assert_allclose(
+        np.asarray(y_k), np.asarray(y_x), atol=3e-5
+    )
+    assert float(jnp.abs(y_k[:, 1500:]).max()) == 0.0
 
 
 def test_stem_matches_xla_f32(stem_params):

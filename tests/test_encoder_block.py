@@ -29,8 +29,20 @@ def test_applicability():
     assert fused_block_applicable(8, 512, 1536)       # base
     assert fused_block_applicable(12, 768, 1536)      # small (F-tiled finish)
     assert fused_block_applicable(16, 1024, 1536)     # medium (chunked LN)
-    assert not fused_block_applicable(20, 1280, 1536)  # large: VMEM gate
+    assert fused_block_applicable(20, 1280, 1536)     # large (128/512 tiles)
     assert not fused_block_applicable(6, 384, 1000)    # non-tile-aligned
+
+
+def test_fused_block_large_geometry_ftiled():
+    """D=1280 (large) exercises the narrow 128-row/512-col finish tiling
+    that keeps large's block set under VMEM (VERDICT r2 item 4)."""
+    bp = model._init_block(jax.random.PRNGKey(9), 1280, cross_attention=False)
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 512, 1280), jnp.float32)
+    y_k = fused_encoder_block(x, bp, 20, 500)
+    y_x = _xla_block(x, bp, 20, 500)
+    np.testing.assert_allclose(
+        np.asarray(y_k[:, :500]), np.asarray(y_x[:, :500]), atol=3e-5
+    )
 
 
 def test_fused_block_matches_xla_f32(block_params):

@@ -266,10 +266,12 @@ print("proc", pid, "ok")
         assert f"proc {i} ok" in out
 
 
-def test_make_mesh_disables_unpartitionable_kernels():
-    """A real multi-device mesh pins the Pallas kernels off: GSPMD cannot
-    partition opaque custom calls, so a sharded program would replicate
-    them (all-gathering operands) instead of sharding."""
+def test_make_mesh_has_no_global_side_effects():
+    """r2 pinned the Pallas kernels off process-wide the moment any
+    multi-device mesh existed (VERDICT r2 "what's weak" #1).  r3 partitions
+    the kernels along the batch dim via custom_partitioning
+    (ops/partition.py), so building a mesh must leave the kernel policy
+    untouched — single-chip work in the same process keeps its kernels."""
     from qasr_ijcnlp_tpu import audio, parallel
     from qasr_ijcnlp_tpu.models import whisper
 
@@ -278,8 +280,19 @@ def test_make_mesh_disables_unpartitionable_kernels():
     audio.set_fused_mel(None)
     try:
         parallel.make_mesh()  # 8 virtual CPU devices in the test env
-        assert whisper._USE_FLASH is False
-        assert audio._USE_FUSED_MEL is False
+        assert whisper._USE_FLASH is None
+        assert audio._USE_FUSED_MEL is None
     finally:
         whisper.set_flash_attention(old_flash)
         audio.set_fused_mel(old_mel)
+
+
+def test_pad_batch_to_mesh_degrades_non_dividing_batches():
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=1)
+    x = jnp.arange(10 * 3, dtype=jnp.float32).reshape(10, 3)
+    padded, real = parallel.pad_batch_to_mesh(x, mesh)
+    assert real == 10 and padded.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(padded[:10]), np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(padded[10:]), np.tile(np.asarray(x[-1:]), (6, 1))
+    )

@@ -191,3 +191,62 @@ def test_closed_form_speedup_vs_naive():
     naive_t = time.perf_counter() - t0
 
     assert naive_t / fast_t > 10, f"speedup only {naive_t / fast_t:.1f}x"
+
+
+# ---------------------------------------------------------------------------
+# Analytic golden vectors (hand-derived; independent of BOTH implementations)
+# ---------------------------------------------------------------------------
+#
+# tests above pin qsim against the repo's own gate-by-gate oracle, which
+# deliberately uses a different algorithm but SHARES the wire/Rot/CNOT
+# conventions — a convention error common to both would be invisible
+# (VERDICT r2 item 6).  The cases below are derived by hand on paper, so
+# they anchor the conventions themselves:
+#
+# * RY-only chain, |0...0> input.  After per-wire RY(theta_i) the state is
+#   a product of (cos(t_i/2)|0> + sin(t_i/2)|1>).  Writing the CNOT chain
+#   as the basis relabeling w_{i+1} ^= w_i applied in order, the final
+#   probability of basis word (w_0..w_{n-1}) is
+#   prod_i [cos^2 or sin^2](t_i/2) of the PRE-chain bit, and telescoping
+#   the signs gives        <Z_i> = prod_{j<=i} cos(theta_j).
+# * Bell case: theta = (pi/2, 0), |00> input -> (|00>+|11>)/sqrt(2):
+#   <Z> = (0, 0).  A reversed CNOT direction would give (0, 1); an
+#   LSB-first wire order gives (1, 0) — either error is caught.
+# * Phase case: wire0 identity; wire1 Rot(pi/2, pi/2, 0) applied to the
+#   normalized [1, 1] embedding ((|00>+|01>)/sqrt(2)).  Rot = RZ(omega=0)
+#   RY(theta) RZ(phi), so the wire-1 amplitudes become
+#   a0 = (e^{-i pi/4} - e^{i pi/4})/2 = -i/sqrt(2),
+#   a1 = (e^{-i pi/4} + e^{i pi/4})/2 =  1/sqrt(2)   =>  <Z1> = 0.
+#   Swapping phi/omega order instead collapses a0 to 0 => <Z1> = -1,
+#   so the Rot convention is pinned too.
+
+
+def test_qsim_analytic_golden_ry_chain():
+    weights = jnp.asarray(
+        [[0.0, np.pi / 3, 0.0], [0.0, np.pi / 4, 0.0], [0.0, np.pi / 6, 0.0]]
+    )
+    got = np.asarray(
+        qsim.quantum_expvals(jnp.asarray([[1.0, 0.0, 0.0]]), weights, 3)
+    )[0]
+    expected = [
+        0.5,                      # cos(pi/3)
+        np.sqrt(2.0) / 4.0,       # cos(pi/3) cos(pi/4)
+        np.sqrt(6.0) / 8.0,       # cos(pi/3) cos(pi/4) cos(pi/6)
+    ]
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_qsim_analytic_golden_bell():
+    weights = jnp.asarray([[0.0, np.pi / 2, 0.0], [0.0, 0.0, 0.0]])
+    got = np.asarray(
+        qsim.quantum_expvals(jnp.asarray([[1.0, 0.0]]), weights, 2)
+    )[0]
+    np.testing.assert_allclose(got, [0.0, 0.0], atol=1e-6)
+
+
+def test_qsim_analytic_golden_phases():
+    weights = jnp.asarray([[0.0, 0.0, 0.0], [np.pi / 2, np.pi / 2, 0.0]])
+    got = np.asarray(
+        qsim.quantum_expvals(jnp.asarray([[1.0, 1.0]]), weights, 2)
+    )[0]
+    np.testing.assert_allclose(got, [1.0, 0.0], atol=1e-6)

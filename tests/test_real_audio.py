@@ -152,3 +152,83 @@ def test_real_audio_transcribe_parity(shared_models):
     assert timing_checked or not any(
         s.get("words") for s in ref["segments"]
     )
+
+# ---------------------------------------------------------------------------
+# Base-width beam + word timing (VERDICT r2 item 6: strengthen the chain)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shared_models_base_width():
+    """Random-weight model at BASE's widths (512-d, 8 heads; depth kept at 2
+    for runtime), identical between torch and JAX — pins the parity chain at
+    a second width class where the head geometry (dh=64, 4 lane groups)
+    differs from the 64-d fixture."""
+    import torch
+
+    from qasr_ijcnlp_tpu.models import ModelDimensions, WhisperModel
+    from qasr_ijcnlp_tpu.models.convert import from_torch_state_dict
+    from tests.oracle import reference_whisper
+
+    reference_whisper()
+    from whisper.model import ModelDimensions as RefDims
+    from whisper.model import Whisper as RefWhisper
+
+    dims = ModelDimensions(
+        n_mels=80, n_audio_ctx=1500, n_audio_state=512, n_audio_head=8,
+        n_audio_layer=2, n_vocab=51865, n_text_ctx=448, n_text_state=512,
+        n_text_head=8, n_text_layer=2,
+    )
+    torch.manual_seed(7)
+    tm = RefWhisper(RefDims(**dims.to_dict())).eval()
+    with torch.no_grad():
+        tm.decoder.positional_embedding.normal_(0, 0.02)
+    params = from_torch_state_dict(tm.state_dict(), dims)
+    jm = WhisperModel(params, dims, name="base-width-parity")
+    jm.alignment_heads = np.asarray(
+        tm.alignment_heads.to_dense().bool().numpy()
+    )
+    return tm, jm
+
+
+def test_real_audio_beam_word_timing_parity_base_width(
+    shared_models_base_width,
+):
+    """Beam search + word timestamps on real speech at base widths:
+    token-identical transcripts and matching word timings between the two
+    stacks (beam tie-breaks and DTW both exercised at dh=64 x 8 heads)."""
+    import torch
+
+    from qasr_ijcnlp_tpu.audio import load_audio
+    from qasr_ijcnlp_tpu.transcribe import transcribe as our_transcribe
+    from whisper.transcribe import transcribe as ref_transcribe
+
+    tm, jm = shared_models_base_width
+    audio = load_audio(JFK)
+
+    kw = dict(
+        language="en",
+        temperature=(0.0,),
+        beam_size=3,
+        word_timestamps=True,
+        fp16=False,
+        verbose=None,
+    )
+    with torch.no_grad():
+        ref = ref_transcribe(tm, torch.from_numpy(audio), **kw)
+    ours = our_transcribe(jm, audio, **kw)
+
+    assert ours["language"] == ref["language"] == "en"
+    assert len(ours["segments"]) == len(ref["segments"])
+    for so, sr in zip(ours["segments"], ref["segments"]):
+        assert so["tokens"] == list(sr["tokens"])
+        assert so["text"] == sr["text"]
+        assert abs(so["start"] - sr["start"]) < 1e-4
+        assert abs(so["end"] - sr["end"]) < 1e-4
+        words_o = so.get("words", [])
+        words_r = sr.get("words", [])
+        assert len(words_o) == len(words_r)
+        for wo, wr in zip(words_o, words_r):
+            assert wo["word"] == wr["word"]
+            assert abs(wo["start"] - wr["start"]) < 0.02
+            assert abs(wo["end"] - wr["end"]) < 0.02
