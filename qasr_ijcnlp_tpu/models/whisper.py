@@ -322,7 +322,14 @@ def _trunk_uses_fused_blocks(
 ) -> bool:
     """``t_pad`` must be the RUNTIME padded length the kernels will see —
     gating on dims.n_audio_ctx alone would admit shorter trunk inputs whose
-    padded length doesn't tile into the finish kernel's row blocks."""
+    padded length doesn't tile into the finish kernel's row blocks.
+
+    Policy vs capability: the fused block is parity-tested up to D=1280
+    (large), but large defaults to the flash path — the r3 on-chip A/B
+    (scripts/bench_family_kernels.py, B=8) measured the fused encoder at
+    0.97x flash there: both paths are bound by the same attention work at
+    D=1280 and the narrow 128/512 finish tiles give back the layout savings.
+    tiny..medium keep the fused default (1.02-1.54x measured)."""
     from ..ops.encoder_block import fused_block_applicable
 
     if t_pad is None:
@@ -330,6 +337,7 @@ def _trunk_uses_fused_blocks(
     return (
         _flash_enabled()
         and t_pad >= 512
+        and dims.n_audio_state <= 1024
         and fused_block_applicable(dims.n_audio_head, dims.n_audio_state,
                                    t_pad)
         and (dtype == jnp.bfloat16 or jax.default_backend() != "tpu")
@@ -363,6 +371,10 @@ def transformer_trunk(
 
         if _sharded.tp_trunk_applicable(dims, mesh, x.shape[0]):
             return _sharded.tp_trunk(params, x, dims, T, mesh)
+        if _sharded.sp_trunk_applicable(dims, mesh, x.shape[0], T):
+            # Heads don't divide the model axis: shard the TIME axis
+            # instead (sequence parallelism, parallel/sharded.py).
+            return _sharded.sp_trunk(params, x, dims, T, mesh)
 
     # On TPU, run the transformer stack at a tile-aligned sequence length
     # (1500 -> 1536): the Pallas kernels then consume every layer's (B, T, D)

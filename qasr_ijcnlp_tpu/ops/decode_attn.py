@@ -112,6 +112,19 @@ def _attend(q, k8, sk, v8, sv, t_real: int, interpret: bool):
     )(q, k8, sk, v8, sv)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_attend_op(t_real: int, interpret: bool):
+    """Batch-partitioned int8 decode kernel (ops/partition.py): every
+    operand shares the (batch*heads) leading dim, so a data-sharded decode
+    runs each shard's kernel locally under GSPMD."""
+    from .partition import batch_partitioned
+
+    def impl(q, k8, sk, v8, sv):
+        return _attend(q, k8, sk, v8, sv, t_real, interpret)
+
+    return batch_partitioned(impl, (3, 3, 3, 3, 3), 3, n_batched=5)
+
+
 def int8_cross_attention(
     q: jnp.ndarray,      # (B*G, T_new, D) queries (pre-LN/projection output)
     k8: jnp.ndarray,     # (B, H, Dh, Tp) int8
@@ -136,14 +149,13 @@ def int8_cross_attention(
     qh = (q.astype(jnp.float32) * scale).reshape(B, G, T_new, n_head, Dh)
     qh = qh.transpose(0, 3, 1, 2, 4).reshape(B * n_head, G * T_new, Dh)
 
-    out = _attend(
+    op = _sharded_attend_op(t_real, jax.default_backend() != "tpu")
+    out = op(
         qh,
         k8.reshape(B * n_head, Dh, k8.shape[-1]),
         sk.reshape(B * n_head, 1, sk.shape[-1]),
         v8.reshape(B * n_head, Dh, v8.shape[-1]),
         sv.reshape(B * n_head, 1, sv.shape[-1]),
-        t_real,
-        jax.default_backend() != "tpu",
     )  # (B*H, G*T_new, Dh)
     out = out.reshape(B, n_head, G, T_new, Dh).transpose(0, 2, 3, 1, 4)
     return out.reshape(BG, T_new, D)

@@ -129,3 +129,91 @@ def tp_trunk(params, x, dims, t_real: int, mesh: Mesh):
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,
     )(params["blocks"], params["ln_post"], x)
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism (beyond-reference; SURVEY §2.5 marks SP/CP optional)
+# ---------------------------------------------------------------------------
+
+
+def sp_trunk_applicable(dims, mesh: Mesh, batch: int, t_real: int) -> bool:
+    """Sequence parallelism shards the (padded) time axis over the model
+    axis instead of the heads — the fallback when the head count doesn't
+    divide the mesh (e.g. tiny's 6 heads on a 4-way model axis), and the
+    scaling axis for long-context encoder variants."""
+    dp, tp = mesh_axis_sizes(mesh)
+    t_pad = (t_real + 127) // 128 * 128
+    return tp > 1 and t_pad % tp == 0 and batch % dp == 0
+
+
+def sp_trunk(params, x, dims, t_real: int, mesh: Mesh):
+    """Sequence-parallel encoder trunk: time axis sharded over the model
+    mesh axis, weights replicated.
+
+    Each shard computes LN + QKV on its local frame rows, ``all_gather``\\ s
+    K and V along the axis (the only two collectives per layer — queries,
+    residuals and the MLP stay row-local), and attends for its local
+    queries.  Communication per layer is 2 * (B x Tp x D) over ICI, vs the
+    TP trunk's 2 psums of the same size; SP wins when the sequence is long
+    relative to the head count or the heads don't divide the mesh.
+    Differentiable (all_gather transposes to reduce-scatter under
+    shard_map).
+    """
+    from ..models import whisper as w
+
+    T = t_real
+    Tp = (T + 127) // 128 * 128
+    n_head = dims.n_audio_head
+    dt = x.dtype
+    if x.shape[1] != Tp:
+        x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0)))
+
+    key_mask = jnp.where(jnp.arange(Tp) < T, 0.0, -jnp.inf).astype(
+        jnp.float32
+    )
+
+    def body(blocks, lnp, xx):
+        B_l, T_l, D = xx.shape
+        dh = D // n_head
+        scale = dt.type(dh ** -0.25)
+
+        def split(z):
+            return z.reshape(B_l, -1, n_head, dh).transpose(0, 2, 1, 3)
+
+        def layer(xc, bp):
+            h = w.layer_norm(xc, bp["attn_ln"])
+            lin = lambda t, p: (
+                t @ p["w"].astype(dt) + p["b"].astype(dt)
+                if "b" in p else t @ p["w"].astype(dt)
+            )
+            q = lin(h, bp["attn"]["query"]) * scale
+            k_loc = lin(h, bp["attn"]["key"]) * scale
+            v_loc = lin(h, bp["attn"]["value"])
+            k = jax.lax.all_gather(k_loc, MODEL_AXIS, axis=1, tiled=True)
+            v = jax.lax.all_gather(v_loc, MODEL_AXIS, axis=1, tiled=True)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k)
+            ).astype(jnp.float32) + key_mask
+            wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
+            att = jnp.einsum("bhqk,bhkd->bhqd", wgt, split(v))
+            att = att.transpose(0, 2, 1, 3).reshape(B_l, T_l, D)
+            xc = xc + lin(att, bp["attn"]["out"])
+            h = w.layer_norm(xc, bp["mlp_ln"])
+            t = jax.nn.gelu(lin(h, bp["mlp"]["fc"]), approximate=False)
+            return xc + lin(t, bp["mlp"]["proj"]), None
+
+        xx, _ = jax.lax.scan(w._maybe_remat(layer), xx, blocks)
+        return w.layer_norm(xx, lnp)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), params["blocks"]),
+            jax.tree.map(lambda _: P(), params["ln_post"]),
+            P(DATA_AXIS, MODEL_AXIS, None),
+        ),
+        out_specs=P(DATA_AXIS, MODEL_AXIS, None),
+        check_vma=False,
+    )(params["blocks"], params["ln_post"], x)
+    return out[:, :T] if Tp != T else out

@@ -234,3 +234,96 @@ def test_dp_decode_with_kernels_on(params):
             assert list(a.tokens) == list(b.tokens)
     finally:
         cmodel.set_flash_attention(None)
+
+
+def test_sp_trunk_matches_single_device(params):
+    """Sequence-parallel trunk (time axis sharded, all-gathered K/V):
+    parity with the single-device encoder, and the dispatcher selects it
+    when the heads don't divide the model axis."""
+    cmodel.set_flash_attention(False)
+    try:
+        mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+        mel = _mel(8, seed=14)
+        base = np.asarray(
+            cmodel.encoder_apply(params["encoder"], jnp.asarray(mel), DIMS)
+        )
+        sp = parallel.shard_params(params, mesh)
+        smel = parallel.shard_batch(jnp.asarray(mel), mesh)
+        out = np.asarray(
+            jax.jit(lambda p, m: _sp_encode_raw(p, m, mesh))(
+                sp["encoder"], smel
+            )
+        )
+        np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
+    finally:
+        cmodel.set_flash_attention(None)
+
+
+def test_sp_dispatch_on_non_dividing_heads():
+    """transformer_trunk(mesh=...) falls back to sequence parallelism when
+    n_head % tp != 0 (tiny-like 6 heads on a 4-way model axis)."""
+    from qasr_ijcnlp_tpu.models.dims import ModelDimensions
+
+    dims6 = ModelDimensions(
+        n_mels=16, n_audio_ctx=512, n_audio_state=384, n_audio_head=6,
+        n_audio_layer=2, n_vocab=128, n_text_ctx=16, n_text_state=384,
+        n_text_head=6, n_text_layer=2,
+    )
+    p6 = cmodel.init_params(jax.random.PRNGKey(6), dims6)
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=4)
+    assert not parallel.sharded.tp_trunk_applicable(dims6, mesh, 8)
+    assert parallel.sharded.sp_trunk_applicable(dims6, mesh, 8, 512)
+
+    mel = np.random.default_rng(15).standard_normal(
+        (8, dims6.n_mels, dims6.n_audio_ctx * 2)
+    ).astype(np.float32)
+    base = np.asarray(
+        cmodel.encoder_apply(p6["encoder"], jnp.asarray(mel), dims6)
+    )
+    sp = parallel.shard_params(p6, mesh)
+    smel = parallel.shard_batch(jnp.asarray(mel), mesh)
+    out = np.asarray(
+        jax.jit(
+            lambda p, m: cmodel.encoder_apply(p, m, dims6, mesh=mesh)
+        )(sp["encoder"], smel)
+    )
+    np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
+
+
+def test_sp_trunk_gradients_match(params):
+    cmodel.set_flash_attention(False)
+    try:
+        mesh = parallel.make_mesh(jax.devices()[:4], model_parallel=2)
+        mel = _mel(4, seed=16)
+
+        def loss_single(p, m):
+            out = cmodel.encoder_apply(p, m, DIMS)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_base = jax.grad(loss_single)(params["encoder"], jnp.asarray(mel))
+
+        def loss_sp(p, m):
+            return jnp.sum(
+                _sp_encode_raw(p, m, mesh).astype(jnp.float32) ** 2
+            )
+
+        sp = parallel.shard_params(params, mesh)
+        smel = parallel.shard_batch(jnp.asarray(mel), mesh)
+        g_sp = jax.jit(jax.grad(loss_sp))(sp["encoder"], smel)
+
+        for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, g_sp)),
+                        jax.tree.leaves(g_base)):
+            scale = max(1.0, float(np.max(np.abs(b))))
+            np.testing.assert_allclose(
+                a / scale, np.asarray(b) / scale, atol=2e-3
+            )
+    finally:
+        cmodel.set_flash_attention(None)
+
+
+def _sp_encode_raw(p, m, mesh):
+    x = m.astype(jnp.float32)
+    x = jax.nn.gelu(cmodel._conv1d(x, p["conv1"], 1), approximate=False)
+    x = jax.nn.gelu(cmodel._conv1d(x, p["conv2"], 2), approximate=False)
+    x = x.transpose(0, 2, 1) + p["pos"].astype(x.dtype)
+    return parallel.sharded.sp_trunk(p, x, DIMS, DIMS.n_audio_ctx, mesh)
