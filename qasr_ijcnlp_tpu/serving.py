@@ -58,6 +58,7 @@ class BatchingTranscriber:
         max_wait_ms: float = 25.0,
         options: Optional[DecodingOptions] = None,
         workers: int = 1,
+        mesh=None,
     ):
         # workers=2 pipelines the host->device upload of one micro-batch
         # under the device compute of the previous one (~15% throughput on a
@@ -66,6 +67,17 @@ class BatchingTranscriber:
         # C++ terminate (NOTES_ROUND2 "container gotchas").  Default to the
         # always-safe single worker; opt into 2 on directly-attached chips.
         self.model = model
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None:
+            # Data-parallel serving: params sharded once, every micro-batch
+            # sharded along the mesh's data axis (the kernels partition via
+            # ops/partition.py).  The compiled batch shape must divide the
+            # data axis — round it up.
+            from . import parallel
+
+            n_data = self.mesh.shape[parallel.DATA_AXIS]
+            batch_size = -(-batch_size // n_data) * n_data
+            model.shard(self.mesh)
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
         self.options = options or DecodingOptions(
@@ -94,10 +106,17 @@ class BatchingTranscriber:
         ]
         for w in self._workers:
             w.start()
+        # Graceful teardown even on abrupt interpreter exit: a daemon worker
+        # cancelled MID-DEVICE-CALL aborts remote/tunneled runtimes with a
+        # bare C++ terminate ("FATAL: exception not rethrown").  Joining the
+        # worker before teardown lets the in-flight batch finish cleanly.
+        import atexit
+
+        atexit.register(self.close)
 
     # -- client side ---------------------------------------------------------
 
-    def transcribe(self, audio: np.ndarray, timeout: float = 120.0) -> dict:
+    def transcribe(self, audio: np.ndarray, timeout: float = 600.0) -> dict:
         """Blocking single-utterance request (thread-safe).
 
         Only pads/trims on the request thread; the mel is computed by the
@@ -121,9 +140,21 @@ class BatchingTranscriber:
         return item.result
 
     def close(self):
+        if self._stop.is_set():
+            return  # idempotent (called again by atexit)
         self._stop.set()
+        # Generous join: an in-flight micro-batch (possibly compiling) must
+        # complete before the runtime is torn down — see __init__'s atexit
+        # note.  Workers check _stop every collect cycle (≤0.1 s idle).
         for w in self._workers:
-            w.join(timeout=5)
+            w.join(timeout=600)
+        while True:  # fail any requests still queued, so waiters wake now
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            p.error = "server shutting down"
+            p.event.set()
 
     # -- batching worker -----------------------------------------------------
 
@@ -165,6 +196,10 @@ class BatchingTranscriber:
                     )
                 # one batched on-device mel; stays on device into decode
                 mels = self._jmel(audios, scales)
+                if self.mesh is not None:
+                    from . import parallel
+
+                    mels = parallel.shard_batch(mels, self.mesh)
                 results = decode(self.model, mels, self.options)
                 for p, r in zip(batch, results):
                     p.result = {
@@ -239,14 +274,20 @@ def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
 
 def serve(model, host: str = "127.0.0.1", port: int = 8077,
           batch_size: int = 16, max_wait_ms: float = 25.0,
-          options: Optional[DecodingOptions] = None, block: bool = True):
-    """Start the HTTP transcription service; returns (server, transcriber)."""
+          options: Optional[DecodingOptions] = None, block: bool = True,
+          mesh=None):
+    """Start the HTTP transcription service; returns (server, transcriber).
+
+    ``mesh``: shard the micro-batches (and model params) across a device
+    mesh — data-parallel serving for multi-chip hosts."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
     from .transcribe import transcribe as _long_transcribe
 
-    transcriber = BatchingTranscriber(model, batch_size, max_wait_ms, options)
+    transcriber = BatchingTranscriber(
+        model, batch_size, max_wait_ms, options, mesh=mesh
+    )
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
     long_lock = threading.Lock()
@@ -386,10 +427,19 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=25.0)
     p.add_argument("--device", type=str, default="auto")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard micro-batches across all visible devices")
     args = p.parse_args(argv)
     resolve_device(args.device)
     model = load_model_with_fallback(args.model)
-    serve(model, args.host, args.port, args.batch_size, args.max_wait_ms)
+    mesh = None
+    if args.data_parallel:
+        from . import parallel
+
+        mesh = parallel.make_mesh(model_parallel=1)
+        print(f"data-parallel serving over {mesh.devices.size} devices")
+    serve(model, args.host, args.port, args.batch_size, args.max_wait_ms,
+          mesh=mesh)
 
 
 if __name__ == "__main__":

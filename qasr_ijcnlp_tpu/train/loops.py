@@ -379,7 +379,10 @@ def train_token_asr(
         weight_decay=weight_decay,
     )
     state = init_state(_own(params), tx)
-    loss_fn = whisper_loss_fn(dims, compute_dtype)
+    # With a mesh, the loss routes the encoder through the explicit
+    # tensor/sequence-parallel shard_map trunk (parallel/sharded.py) and
+    # keys the jit cache per mesh.
+    loss_fn = whisper_loss_fn(dims, compute_dtype, mesh=mesh)
     if mesh is not None:
         state = shard_state(state, mesh)
         step = make_sharded_train_step(loss_fn, tx, mesh)

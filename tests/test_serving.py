@@ -277,3 +277,39 @@ def test_stream_client_disconnect_does_not_wedge_server(small_model):
     finally:
         server.shutdown()
         transcriber.close()
+
+
+def test_data_parallel_serving(small_model):
+    """Micro-batches sharded across the 8-virtual-device mesh produce the
+    same per-request results (params sharded once at init; batch rounded to
+    a mesh multiple)."""
+    import jax
+
+    from qasr_ijcnlp_tpu import parallel
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+    from qasr_ijcnlp_tpu.serving import BatchingTranscriber
+
+    opts = DecodingOptions(language="en", without_timestamps=True,
+                           sample_len=4)
+    base = BatchingTranscriber(small_model, batch_size=4, max_wait_ms=20,
+                               options=opts)
+    try:
+        want = base.transcribe(_audio(seed=21))
+    finally:
+        base.close()
+
+    mesh = parallel.make_mesh(model_parallel=1)
+    dp_model = WhisperModel(
+        jax.tree.map(lambda x: x, small_model.params), small_model.dims,
+        name="serve-dp",
+    )
+    t = BatchingTranscriber(dp_model, batch_size=6, max_wait_ms=20,
+                            options=opts, mesh=mesh)
+    try:
+        assert t.batch_size % mesh.shape[parallel.DATA_AXIS] == 0
+        got = t.transcribe(_audio(seed=21))
+    finally:
+        t.close()
+    assert got["tokens"] == want["tokens"]
+    assert got["text"] == want["text"]
