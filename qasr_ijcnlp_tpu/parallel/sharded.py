@@ -217,3 +217,128 @@ def sp_trunk(params, x, dims, t_real: int, mesh: Mesh):
         check_vma=False,
     )(params["blocks"], params["ln_post"], x)
     return out[:, :T] if Tp != T else out
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (beyond-reference; SURVEY §2.5 lists PP as absent)
+# ---------------------------------------------------------------------------
+
+
+def pp_trunk_applicable(
+    dims, mesh: Mesh, batch: int, n_micro: int = 4
+) -> bool:
+    """GPipe pipelining needs: a model axis > 1 that divides the layer
+    count evenly (equal stage depth), and a local batch that splits into
+    ``n_micro`` equal microbatches."""
+    dp, pp = mesh_axis_sizes(mesh)
+    return (
+        pp > 1
+        and dims.n_audio_layer % pp == 0
+        and batch % dp == 0
+        and (batch // dp) % n_micro == 0
+    )
+
+
+def pp_trunk(params, x, dims, t_real: int, mesh: Mesh, n_micro: int = 4):
+    """Pipeline-parallel encoder trunk: layers sharded over the model axis.
+
+    GPipe schedule under ``shard_map``: stage ``s`` holds layers
+    ``[s*L/S, (s+1)*L/S)`` (the stacked-scan block leaves are sharded on
+    their leading layer axis, so each stage's weights live only on that
+    stage), the local batch is split into ``n_micro`` microbatches, and at
+    every step each stage runs its local layer stack on one microbatch and
+    ``ppermute``\\ s the activation to the next stage — S-1 bubble steps,
+    one (B/M, T, D) hop per step over ICI.  The finished microbatches
+    accumulate on the last stage and one masked ``psum`` broadcasts them
+    back to the data layout (a real deployment would feed the next pipeline
+    consumer directly from the last stage instead).
+
+    Differentiable: the unrolled schedule transposes cleanly (``ppermute``
+    reverses direction under AD), so the sharded train step can pipeline.
+    Complements :func:`tp_trunk` (head-sharded) and :func:`sp_trunk`
+    (time-sharded) — PP is the axis that scales DEPTH (large's 32 layers,
+    reference family table /root/reference/whisper/__init__.py:17-32) with
+    only point-to-point communication, where TP needs two psums per layer.
+    The reference has no distributed execution at all (SURVEY §2.5).
+    """
+    from ..models import whisper as w
+
+    dp, S = mesh_axis_sizes(mesh)
+    T = t_real
+    n_head = dims.n_audio_head
+    dt = x.dtype
+    key_mask = (
+        None
+        if x.shape[1] == T
+        else jnp.where(jnp.arange(x.shape[1]) < T, 0.0, -jnp.inf).astype(
+            jnp.float32
+        )
+    )
+
+    def body(blocks, lnp, xx):
+        B_l, T_l, D = xx.shape
+        dh = D // n_head
+        scale = dt.type(dh ** -0.25)
+        M = n_micro
+        s = jax.lax.axis_index(MODEL_AXIS)
+
+        def split(z):
+            return z.reshape(z.shape[0], -1, n_head, dh).transpose(
+                0, 2, 1, 3
+            )
+
+        lin = lambda t, p: (
+            t @ p["w"].astype(dt) + p["b"].astype(dt)
+            if "b" in p else t @ p["w"].astype(dt)
+        )
+
+        def layer(xc, bp):
+            h = w.layer_norm(xc, bp["attn_ln"])
+            q = lin(h, bp["attn"]["query"]) * scale
+            k = lin(h, bp["attn"]["key"]) * scale
+            v = lin(h, bp["attn"]["value"])
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k)
+            ).astype(jnp.float32)
+            if key_mask is not None:
+                logits = logits + key_mask
+            wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
+            att = jnp.einsum("bhqk,bhkd->bhqd", wgt, split(v))
+            att = att.transpose(0, 2, 1, 3).reshape(xc.shape)
+            xc = xc + lin(att, bp["attn"]["out"])
+            h = w.layer_norm(xc, bp["mlp_ln"])
+            t = jax.nn.gelu(lin(h, bp["mlp"]["fc"]), approximate=False)
+            return xc + lin(t, bp["mlp"]["proj"]), None
+
+        def stage(mb):
+            out, _ = jax.lax.scan(w._maybe_remat(layer), mb, blocks)
+            return out
+
+        micro = xx.reshape(M, B_l // M, T_l, D)
+        buf = jnp.zeros_like(micro[0])          # activation arriving from s-1
+        outs = jnp.zeros_like(micro)            # finished, on the last stage
+        fwd = [(i, (i + 1) % S) for i in range(S)]
+        for step in range(M + S - 1):
+            inject = micro[min(step, M - 1)]
+            out = stage(jnp.where(s == 0, inject, buf))
+            if step >= S - 1:
+                outs = outs.at[step - (S - 1)].set(out)
+            if step < M + S - 2:
+                buf = jax.lax.ppermute(out, MODEL_AXIS, fwd)
+        # Masked broadcast from the last stage back to the data layout.
+        outs = jax.lax.psum(
+            jnp.where(s == S - 1, outs, jnp.zeros_like(outs)), MODEL_AXIS
+        )
+        return w.layer_norm(outs.reshape(B_l, T_l, D), lnp)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(MODEL_AXIS), params["blocks"]),
+            jax.tree.map(lambda _: P(), params["ln_post"]),
+            P(DATA_AXIS, None, None),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+        check_vma=False,
+    )(params["blocks"], params["ln_post"], x)

@@ -327,3 +327,78 @@ def _sp_encode_raw(p, m, mesh):
     x = jax.nn.gelu(cmodel._conv1d(x, p["conv2"], 2), approximate=False)
     x = x.transpose(0, 2, 1) + p["pos"].astype(x.dtype)
     return parallel.sharded.sp_trunk(p, x, DIMS, DIMS.n_audio_ctx, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (parallel/sharded.py::pp_trunk)
+# ---------------------------------------------------------------------------
+
+
+def _pp_encode_raw(p, m, mesh, n_micro=2):
+    x = m.astype(jnp.float32)
+    x = jax.nn.gelu(cmodel._conv1d(x, p["conv1"], 1), approximate=False)
+    x = jax.nn.gelu(cmodel._conv1d(x, p["conv2"], 2), approximate=False)
+    x = x.transpose(0, 2, 1) + p["pos"].astype(x.dtype)
+    return parallel.sharded.pp_trunk(
+        p, x, DIMS, DIMS.n_audio_ctx, mesh, n_micro=n_micro
+    )
+
+
+def test_pp_trunk_applicable_gate():
+    mesh2 = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+    # 2 layers over 2 stages, local batch 4 -> 2 microbatches: ok
+    assert parallel.sharded.pp_trunk_applicable(DIMS, mesh2, 16, n_micro=2)
+    # 2 layers do not split over 4 stages
+    mesh4 = parallel.make_mesh(jax.devices()[:8], model_parallel=4)
+    assert not parallel.sharded.pp_trunk_applicable(DIMS, mesh4, 16)
+    # local batch must split into microbatches
+    assert not parallel.sharded.pp_trunk_applicable(DIMS, mesh2, 4, n_micro=3)
+
+
+def test_pp_trunk_matches_single_device(params):
+    """GPipe trunk (layers sharded over stages, microbatched ppermute
+    schedule): parity with the single-device encoder."""
+    cmodel.set_flash_attention(False)
+    try:
+        mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+        mel = _mel(8, seed=17)
+        base = np.asarray(
+            cmodel.encoder_apply(params["encoder"], jnp.asarray(mel), DIMS)
+        )
+        out = np.asarray(
+            jax.jit(lambda p, m: _pp_encode_raw(p, m, mesh))(
+                params["encoder"], jnp.asarray(mel)
+            )
+        )
+        np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
+    finally:
+        cmodel.set_flash_attention(None)
+
+
+def test_pp_trunk_gradients_match(params):
+    cmodel.set_flash_attention(False)
+    try:
+        mesh = parallel.make_mesh(jax.devices()[:4], model_parallel=2)
+        mel = _mel(4, seed=18)
+
+        def loss_single(p, m):
+            out = cmodel.encoder_apply(p, m, DIMS)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_base = jax.grad(loss_single)(params["encoder"], jnp.asarray(mel))
+
+        def loss_pp(p, m):
+            return jnp.sum(
+                _pp_encode_raw(p, m, mesh).astype(jnp.float32) ** 2
+            )
+
+        g_pp = jax.jit(jax.grad(loss_pp))(params["encoder"], jnp.asarray(mel))
+
+        for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, g_pp)),
+                        jax.tree.leaves(g_base)):
+            scale = max(1.0, float(np.max(np.abs(b))))
+            np.testing.assert_allclose(
+                a / scale, np.asarray(b) / scale, atol=2e-3
+            )
+    finally:
+        cmodel.set_flash_attention(None)
