@@ -375,6 +375,10 @@ def transformer_trunk(
             # Heads don't divide the model axis: shard the TIME axis
             # instead (sequence parallelism, parallel/sharded.py).
             return _sharded.sp_trunk(params, x, dims, T, mesh)
+        if _sharded.pp_trunk_applicable(dims, mesh, x.shape[0]):
+            # Neither heads nor time divide: pipeline the LAYERS over the
+            # model axis (GPipe microbatch schedule, parallel/sharded.py).
+            return _sharded.pp_trunk(params, x, dims, T, mesh)
 
     # On TPU, run the transformer stack at a tile-aligned sequence length
     # (1500 -> 1536): the Pallas kernels then consume every layer's (B, T, D)

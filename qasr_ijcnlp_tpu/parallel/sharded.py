@@ -331,7 +331,7 @@ def pp_trunk(params, x, dims, t_real: int, mesh: Mesh, n_micro: int = 4):
         )
         return w.layer_norm(outs.reshape(B_l, T_l, D), lnp)
 
-    return jax.shard_map(
+    out = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
@@ -342,3 +342,4 @@ def pp_trunk(params, x, dims, t_real: int, mesh: Mesh, n_micro: int = 4):
         out_specs=P(DATA_AXIS, None, None),
         check_vma=False,
     )(params["blocks"], params["ln_post"], x)
+    return out[:, :T] if out.shape[1] != T else out

@@ -403,7 +403,13 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             else:
                 self._send(404, {"error": "not found"})
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog of 5 resets connections
+        # under bursts of concurrent clients (measured at 128 in
+        # scripts/bench_serving.py); size it for serving load.
+        request_queue_size = 256
+
+    server = Server((host, port), Handler)
     if block:
         try:
             print(f"serving on http://{host}:{port} (batch={batch_size})")

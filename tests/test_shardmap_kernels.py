@@ -402,3 +402,34 @@ def test_pp_trunk_gradients_match(params):
             )
     finally:
         cmodel.set_flash_attention(None)
+
+
+def test_pp_dispatch_when_neither_heads_nor_time_divide():
+    """transformer_trunk(mesh=...) falls back to the pipeline trunk when
+    the model axis divides neither the heads nor the padded time (only
+    possible on non-power-of-2 axes, e.g. medium's 24 layers over 3
+    stages) — and the padded rows are sliced off (t_pad 128 vs ctx 96)."""
+    dims3 = ModelDimensions(
+        n_mels=16, n_audio_ctx=96, n_audio_state=256, n_audio_head=4,
+        n_audio_layer=3, n_vocab=128, n_text_ctx=16, n_text_state=256,
+        n_text_head=4, n_text_layer=2,
+    )
+    mesh = parallel.make_mesh(jax.devices()[:6], model_parallel=3)
+    assert not parallel.sharded.tp_trunk_applicable(dims3, mesh, 8)
+    assert not parallel.sharded.sp_trunk_applicable(dims3, mesh, 8, 96)
+    assert parallel.sharded.pp_trunk_applicable(dims3, mesh, 8)
+
+    p3 = cmodel.init_params(jax.random.PRNGKey(9), dims3)
+    mel = np.random.default_rng(19).standard_normal(
+        (8, dims3.n_mels, dims3.n_audio_ctx * 2)
+    ).astype(np.float32)
+    base = np.asarray(
+        cmodel.encoder_apply(p3["encoder"], jnp.asarray(mel), dims3)
+    )
+    out = np.asarray(
+        jax.jit(
+            lambda p, m: cmodel.encoder_apply(p, m, dims3, mesh=mesh)
+        )(p3["encoder"], jnp.asarray(mel))
+    )
+    assert out.shape == base.shape
+    np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
