@@ -100,6 +100,12 @@ _BLOCK_RULES = {
     ("mlp", "fc", "w"): P(None, None, MODEL_AXIS),
     ("mlp", "fc", "b"): P(None, MODEL_AXIS),
     ("mlp", "proj", "w"): P(None, MODEL_AXIS, None),
+    # MoE encoder variant (models/moe.py): experts shard on their E axis
+    # (leaves are stacked (L, E, ...)); the router replicates.
+    ("mlp", "experts", "fc", "w"): P(None, MODEL_AXIS, None, None),
+    ("mlp", "experts", "fc", "b"): P(None, MODEL_AXIS, None),
+    ("mlp", "experts", "proj", "w"): P(None, MODEL_AXIS, None, None),
+    ("mlp", "experts", "proj", "b"): P(None, MODEL_AXIS, None),
 }
 
 

@@ -343,3 +343,166 @@ def pp_trunk(params, x, dims, t_real: int, mesh: Mesh, n_micro: int = 4):
         check_vma=False,
     )(params["blocks"], params["ln_post"], x)
     return out[:, :T] if out.shape[1] != T else out
+
+
+# ---------------------------------------------------------------------------
+# Expert parallelism (beyond-reference; the reference has no MoE — SURVEY
+# §2.5 lists EP as N/A.  models/moe.py defines the MoE encoder variant.)
+# ---------------------------------------------------------------------------
+
+
+def ep_trunk_applicable(dims, moe, mesh: Mesh, batch: int,
+                        t_real: int) -> bool:
+    """Expert parallelism shards the EXPERTS over the model axis and the
+    encoder time axis with them (SP-style attention), so it needs: a model
+    axis > 1 dividing ``n_experts`` and the padded time length, and a batch
+    divisible by the data axis."""
+    dp, ep = mesh_axis_sizes(mesh)
+    t_pad = (t_real + 127) // 128 * 128
+    return (
+        ep > 1
+        and moe.n_experts % ep == 0
+        and t_pad % ep == 0
+        and batch % dp == 0
+    )
+
+
+def _ep_block_specs(blocks):
+    """in_specs for the MoE block stack: expert leaves (L, E, ...) shard on
+    their E axis over the model mesh axis; attention weights, layer norms
+    and the router replicate (attention is time-sharded, not head-sharded,
+    under the EP trunk)."""
+
+    def spec(path, leaf):
+        keys = _path_keys_local(path)
+        if "experts" in keys:
+            return P(None, MODEL_AXIS, *([None] * (leaf.ndim - 2)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, blocks)
+
+
+def _path_keys_local(path):
+    return tuple(
+        getattr(p, "key", getattr(p, "name", None)) for p in path
+    )
+
+
+def ep_trunk(params, x, dims, moe, t_real: int, mesh: Mesh):
+    """Expert-parallel MoE encoder trunk: experts sharded over the model
+    axis, tokens routed to their expert's shard via ``all_to_all``.
+
+    Layout: the (padded) TIME axis is sharded over the model axis exactly
+    like :func:`sp_trunk` (attention all-gathers K/V; queries, residuals
+    and routing stay row-local), so no compute is replicated.  Each MoE
+    layer then runs the GShard dispatch algebra (models/moe.py::route) on
+    its local tokens:
+
+    1. top-1 routing builds a (E, C, D) dispatch buffer from the local
+       tokens (per-shard capacity C — the standard GShard grouping);
+    2. ``all_to_all`` over the model axis exchanges the (S, E/S, C, D)
+       blocks so each shard holds every token destined for ITS experts;
+    3. the local expert FFNs run as one batched (E/S, S*C, D) einsum pair
+       — dense MXU work, no gathers;
+    4. the reverse ``all_to_all`` returns results and the combine einsum
+       scatters them back into the residual, scaled by the router gate.
+
+    Two all_to_alls of (E, C, D) ~ (cf * N_local, D) per layer ride ICI —
+    the canonical sparse-MoE communication pattern.  Differentiable
+    end-to-end (all_to_all is its own transpose under AD; router gradients
+    flow through the combine gates).  Returns ``(out, aux)`` with ``aux``
+    the load-balancing loss psum-averaged over every shard.
+    """
+    from ..models import whisper as w
+    from ..models import moe as moe_mod
+
+    dp, S = mesh_axis_sizes(mesh)
+    T = t_real
+    Tp = (T + 127) // 128 * 128
+    n_head = dims.n_audio_head
+    dt = x.dtype
+    E = moe.n_experts
+    E_l = E // S
+    if x.shape[1] != Tp:
+        x = jnp.pad(x, ((0, 0), (0, Tp - x.shape[1]), (0, 0)))
+    key_mask = jnp.where(jnp.arange(Tp) < T, 0.0, -jnp.inf).astype(
+        jnp.float32
+    )
+
+    def body(blocks, lnp, xx):
+        B_l, T_l, D = xx.shape
+        dh = D // n_head
+        scale = dt.type(dh ** -0.25)
+        s = jax.lax.axis_index(MODEL_AXIS)
+        row = s * T_l + jnp.arange(T_l)
+        valid = jnp.broadcast_to(
+            (row < T)[None, :], (B_l, T_l)
+        ).reshape(B_l * T_l)
+        N = B_l * T_l
+        C = moe.capacity(N)
+
+        def split(z):
+            return z.reshape(B_l, -1, n_head, dh).transpose(0, 2, 1, 3)
+
+        lin = lambda t, p: (
+            t @ p["w"].astype(dt) + p["b"].astype(dt)
+            if "b" in p else t @ p["w"].astype(dt)
+        )
+
+        def layer(xc, bp):
+            h = w.layer_norm(xc, bp["attn_ln"])
+            q = lin(h, bp["attn"]["query"]) * scale
+            k = jax.lax.all_gather(
+                lin(h, bp["attn"]["key"]) * scale, MODEL_AXIS, axis=1,
+                tiled=True,
+            )
+            v = jax.lax.all_gather(
+                lin(h, bp["attn"]["value"]), MODEL_AXIS, axis=1, tiled=True
+            )
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", split(q), split(k)
+            ).astype(jnp.float32) + key_mask
+            wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
+            att = jnp.einsum("bhqk,bhkd->bhqd", wgt, split(v))
+            xc = xc + lin(
+                att.transpose(0, 2, 1, 3).reshape(B_l, T_l, D),
+                bp["attn"]["out"],
+            )
+
+            h = w.layer_norm(xc, bp["mlp_ln"]).reshape(N, D)
+            dispatch, combine, aux = moe_mod.route(
+                h, bp["mlp"]["router"]["w"], moe, C, valid=valid
+            )
+            buf = jnp.einsum("nec,nd->ecd", dispatch.astype(dt), h)
+            recv = jax.lax.all_to_all(
+                buf.reshape(S, E_l, C, D), MODEL_AXIS, 0, 0, tiled=True
+            )
+            rbuf = recv.transpose(1, 0, 2, 3).reshape(E_l, S * C, D)
+            y = moe_mod._expert_ffn(rbuf, bp["mlp"]["experts"], dt)
+            back = jax.lax.all_to_all(
+                y.reshape(E_l, S, C, D).transpose(1, 0, 2, 3),
+                MODEL_AXIS, 0, 0, tiled=True,
+            )
+            out = jnp.einsum(
+                "nec,ecd->nd", combine.astype(dt), back.reshape(E, C, D)
+            )
+            return xc + out.reshape(B_l, T_l, D), aux
+
+        xx, auxes = jax.lax.scan(w._maybe_remat(layer), xx, blocks)
+        aux = jax.lax.psum(
+            jnp.mean(auxes), (DATA_AXIS, MODEL_AXIS)
+        ) / (dp * S)
+        return w.layer_norm(xx, lnp), aux
+
+    out, aux = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            _ep_block_specs(params["blocks"]),
+            jax.tree.map(lambda _: P(), params["ln_post"]),
+            P(DATA_AXIS, MODEL_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, MODEL_AXIS, None), P()),
+        check_vma=False,
+    )(params["blocks"], params["ln_post"], x)
+    return (out[:, :T] if Tp != T else out), aux
