@@ -11,3 +11,7 @@ from .step import (  # noqa: F401
     shard_state,
     whisper_loss_fn,
 )
+from .checkpoint import (  # noqa: F401
+    restore_train_state,
+    save_train_state,
+)

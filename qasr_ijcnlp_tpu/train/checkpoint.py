@@ -136,6 +136,51 @@ class TrainingHistory:
         return h
 
 
+def save_train_state(path: str, state, metadata: Optional[dict] = None) -> None:
+    """Save a FULL TrainState (params + optimizer moments + step counter).
+
+    Beyond the reference's params-only ``.pth`` saves: restoring this
+    resumes optimization exactly (Adam moments and the schedule step come
+    back too).  Sharded states save transparently in a single-process run —
+    leaves gather to host on save and re-shard on restore via ``mesh``.
+
+    The leaf list is keyed by index so restore only needs a structurally
+    identical template (optax states nest NamedTuples, which generic
+    checkpoint formats don't round-trip by themselves).
+    """
+    import jax
+
+    leaves = jax.tree.leaves(state)
+    save_pytree(
+        path, {f"{i:05d}": leaf for i, leaf in enumerate(leaves)}, metadata
+    )
+
+
+def restore_train_state(path: str, template, mesh=None):
+    """Restore a TrainState saved by :func:`save_train_state`.
+
+    ``template`` is a structurally matching state (e.g. a fresh
+    ``train.init_state(params, tx)``); leaf dtypes are coerced to the
+    template's.  With ``mesh``, the restored state is placed with its
+    TP/replicated shardings (``train.shard_state``) ready for the sharded
+    step.
+    """
+    import jax
+
+    leaves = jax.tree.leaves(template)
+    restored = load_pytree(path)
+    new = [
+        np.asarray(restored[f"{i:05d}"]).astype(np.asarray(t).dtype)
+        for i, t in enumerate(leaves)
+    ]
+    state = jax.tree.unflatten(jax.tree.structure(template), new)
+    if mesh is not None:
+        from .step import shard_state
+
+        state = shard_state(state, mesh)
+    return state
+
+
 def save_whisper_pt(path: str, params, dims) -> None:
     """Export the Whisper trunk in the official checkpoint format so the
     PyTorch reference can load it (models/convert.save_torch_checkpoint)."""

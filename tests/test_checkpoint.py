@@ -79,3 +79,67 @@ def test_reference_loads_our_pt_export(tmp_path):
         theirs = ref(torch.from_numpy(mel), torch.from_numpy(tokens)).numpy()
     ours = np.asarray(jmodel.forward(params, mel, tokens, dims))
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_sharded_train_state_resume_parity(tmp_path):
+    """Full-state checkpoint mid-run on a (data, model) mesh, restore into a
+    fresh process state, and resume: the continued run must match an
+    uninterrupted one exactly (params + Adam moments + step counter all
+    round-trip; leaves gather on save and re-shard on restore)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu import parallel, train
+    from qasr_ijcnlp_tpu.models import whisper as model
+    from qasr_ijcnlp_tpu.models.dims import ModelDimensions
+
+    dims = ModelDimensions(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+        n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_state=16,
+        n_text_head=2, n_text_layer=2,
+    )
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+    params = model.init_params(jax.random.PRNGKey(0), dims)
+    tx = train.make_optimizer(train.warmup_cosine(1e-3, 2, 10))
+    loss_fn = train.whisper_loss_fn(dims, mesh=mesh)
+    step = train.make_sharded_train_step(loss_fn, tx, mesh)
+
+    B = 4
+    def batch(i):
+        mel = jax.random.normal(jax.random.PRNGKey(100 + i),
+                                (B, dims.n_mels, 2 * dims.n_audio_ctx)) * 0.1
+        tokens = np.full((B, dims.n_text_ctx), -100, np.int32)
+        tokens[:, :4] = [[1, 5 + i, 6, 2]] * B
+        return mel, jnp.asarray(tokens)
+
+    # Uninterrupted 4-step run.
+    state = train.shard_state(
+        train.init_state(copy.deepcopy(params), tx), mesh)
+    with mesh:
+        for i in range(4):
+            state, metrics_ref = step(state, *batch(i))
+
+    # Interrupted: 2 steps, full-state save, fresh restore, 2 more steps.
+    state2 = train.shard_state(
+        train.init_state(copy.deepcopy(params), tx), mesh)
+    with mesh:
+        for i in range(2):
+            state2, _ = step(state2, *batch(i))
+    path = str(tmp_path / "state")
+    train.save_train_state(path, state2, metadata={"step": 2})
+    template = train.init_state(copy.deepcopy(params), tx)
+    resumed = train.restore_train_state(path, template, mesh=mesh)
+    assert int(resumed.step) == 2
+    with mesh:
+        for i in range(2, 4):
+            resumed, metrics = step(resumed, *batch(i))
+
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_ref["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        resumed.params, state.params,
+    )
