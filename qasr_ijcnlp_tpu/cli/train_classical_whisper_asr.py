@@ -30,7 +30,12 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--max_audio_length", type=int, default=30)
     p.add_argument("--device", type=str, default="auto")
-    p.add_argument("--save_every", type=int, default=5)
+    p.add_argument("--save_every", type=int, default=5,
+                   help="Write a full TrainState (params + optimizer + "
+                        "step) checkpoint every N epochs; 0 disables")
+    p.add_argument("--resume_state", type=str, default=None,
+                   help="Resume from a full TrainState checkpoint "
+                        "(state_epoch_N / best_wer_state dir)")
     p.add_argument("--warmup_epochs", type=int, default=3)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_tokens", type=int, default=448)
@@ -99,6 +104,8 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         history_path="classical_whisper_asr_training_history.json",
         mesh=mesh,
+        save_state_every=args.save_every,
+        resume_state=args.resume_state,
     )
     print("Training complete. Best:", out["tracker"].best)
     return out

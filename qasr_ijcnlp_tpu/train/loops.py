@@ -358,13 +358,25 @@ def train_token_asr(
     history_path: Optional[str] = None,
     compute_dtype: str = "float32",
     mesh=None,
+    save_state_every: int = 0,
+    resume_state: Optional[str] = None,
     log: Callable = print,
 ) -> Dict:
     """Classical token-level training (train_classical_whisper_asr.py:323-608):
     AdamW(0.9, 0.98, eps 1e-6) + linear-warmup-cosine, best-WER checkpoint.
 
     Pass a ``jax.sharding.Mesh`` to train SPMD: params/optimizer sharded by
-    parallel.param_specs (TP on the 'model' axis), batches on 'data'."""
+    parallel.param_specs (TP on the 'model' axis), batches on 'data'.
+
+    ``save_state_every`` > 0 writes a FULL TrainState (params + Adam moments
+    + step) checkpoint every N epochs, and the best-WER save includes the
+    full state too — mirroring the reference's best+optimizer-state+periodic
+    strategy (:500-525).  ``resume_state`` restores such a checkpoint
+    (re-sharded onto ``mesh``) and continues optimization exactly
+    (tests/test_checkpoint.py pins resume parity)."""
+    import os
+
+    from .checkpoint import restore_train_state, save_train_state
     from .schedule import warmup_cosine
     from .step import (
         make_optimizer,
@@ -388,6 +400,10 @@ def train_token_asr(
         step = make_sharded_train_step(loss_fn, tx, mesh)
     else:
         step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    if resume_state:
+        state = restore_train_state(resume_state, state, mesh=mesh)
+        log(f"resumed full train state from {resume_state} "
+            f"(step {int(state.step)})")
     jloss = jax.jit(loss_fn)
 
     @jax.jit
@@ -435,7 +451,21 @@ def train_token_asr(
                 val_wer=qmetrics.calculate_wer(preds, refs),
                 val_cer=qmetrics.calculate_cer(preds, refs),
             )
-            tracker.update({"wer": entry["val_wer"]}, state.params, {"epoch": epoch})
+            improved = tracker.update(
+                {"wer": entry["val_wer"]}, state.params, {"epoch": epoch}
+            )
+            if improved.get("wer") and save_state_every:
+                # Best checkpoint with optimizer state, like the reference
+                # (:500-511 saves model + optimizer state dicts together).
+                save_train_state(
+                    os.path.join(checkpoint_dir, "best_wer_state"),
+                    state, {"epoch": epoch, "val_wer": entry["val_wer"]},
+                )
+        if save_state_every and (epoch + 1) % save_state_every == 0:
+            save_train_state(
+                os.path.join(checkpoint_dir, f"state_epoch_{epoch}"),
+                state, {"epoch": epoch},
+            )
         history.log(**entry)
         log(f"epoch {epoch}: " + "  ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
