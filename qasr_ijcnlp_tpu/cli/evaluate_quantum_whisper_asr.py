@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--head", type=str, default="lstm", choices=["lstm", "mlp"])
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_text_len", type=int, default=100)
+    p.add_argument("--real_decode", action="store_true",
+                   help="Decode the MLP head autoregressively instead of "
+                        "the reference's teacher-forced argmax")
     return p
 
 
@@ -96,6 +99,11 @@ def main(argv=None):
         enc = embed(params, mel)
         if args.head == "lstm":
             out, _ = asr_model.lstm_greedy_decode(
+                params["head"], enc, START, END, args.max_text_len
+            )
+            out = np.asarray(out)
+        elif args.real_decode:
+            out, _ = asr_model.mlp_greedy_decode(
                 params["head"], enc, START, END, args.max_text_len
             )
             out = np.asarray(out)

@@ -43,6 +43,11 @@ def build_parser():
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/quantum_asr")
     p.add_argument("--resume", type=str, default=None,
                    help="Checkpoint path to resume parameters from")
+    p.add_argument("--real_val_decode", action="store_true",
+                   help="Validate the MLP head with true autoregressive "
+                        "greedy decoding instead of the reference's "
+                        "teacher-forced argmax (LSTM always decodes "
+                        "autoregressively)")
     return p
 
 
@@ -102,6 +107,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         history_path="quantum_whisper_asr_training_history.json",
         resume_from=args.resume,
+        real_decode=args.real_val_decode,
     )
     print("Training complete. Best:", out["tracker"].best)
     return out

@@ -98,8 +98,14 @@ def evaluate_char_asr(
     loader: DataLoader,
     vocab: CharVocabulary,
     max_len: int = 100,
+    real_decode: bool = False,
 ) -> Dict[str, float]:
-    """Greedy-decode validation with real CER/WER."""
+    """Greedy-decode validation with real CER/WER.
+
+    ``real_decode`` switches the MLP head from the reference's optimistic
+    teacher-forced argmax to true autoregressive greedy decoding
+    (:func:`models.asr.mlp_greedy_decode`); the LSTM head always decodes
+    autoregressively."""
     preds, refs, losses = [], [], []
     # jit wrappers cached per (encoder, head) so per-epoch validation reuses
     # the compiled programs instead of rebuilding closures each call.
@@ -124,9 +130,14 @@ def evaluate_char_asr(
                 params["head"], enc, START, END, max_len
             )
             out = np.asarray(out)
+        elif real_decode:
+            out, _ = asr_model.mlp_greedy_decode(
+                params["head"], enc, START, END, max_len
+            )
+            out = np.asarray(out)
         else:
-            # Teacher-forced argmax (the only decode the MLP head supports:
-            # it has no autoregressive path in the reference either).
+            # Teacher-forced argmax — the reference's optimistic validation
+            # quirk, kept as the default for parity (real_decode opts out).
             logits = asr_model.mlp_head_char_logits(params["head"], enc, char_ids)
             out = np.asarray(jnp.argmax(logits, axis=-1))
         for b in range(real):
@@ -154,6 +165,7 @@ def train_char_asr(
     checkpoint_dir: str = "checkpoints/char_asr",
     history_path: Optional[str] = None,
     resume_from: Optional[str] = None,
+    real_decode: bool = False,
     log: Callable = print,
 ) -> Dict:
     """AdamW + cosine, grad-clip 1.0, dual best-CER/WER checkpoints.
@@ -202,7 +214,8 @@ def train_char_asr(
         }
         if val_loader is not None:
             val = evaluate_char_asr(
-                state.params, encoder_apply, head_kind, val_loader, vocab
+                state.params, encoder_apply, head_kind, val_loader, vocab,
+                real_decode=real_decode,
             )
             entry.update({f"val_{k}": v for k, v in val.items()})
             tracker.update(

@@ -98,6 +98,38 @@ def test_mlp_head_fixed_alignment():
     )
 
 
+def test_mlp_greedy_decode_self_consistent():
+    """Autoregressive MLP decode must reproduce its own chain when the
+    decoded sequence is re-fed teacher-forced (position t logits depend
+    only on char t, so the two evaluations must agree exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.models import asr
+
+    key = jax.random.PRNGKey(7)
+    head = asr.init_mlp_head(key, enc_dim=32, num_chars=10, hidden_size=32)
+    enc = jax.random.normal(key, (3, 20, 32))
+    out, lengths = asr.mlp_greedy_decode(head, enc, start_id=2, end_id=3,
+                                         max_len=8)
+    out = np.asarray(out)
+    assert out.shape == (3, 8) and lengths.shape == (3,)
+    # Re-feed [START] + decoded chars teacher-forced; argmax must match.
+    chars = jnp.concatenate(
+        [jnp.full((3, 1), 2, jnp.int32), jnp.asarray(out)], axis=1
+    )
+    tf = np.asarray(jnp.argmax(
+        asr.mlp_head_char_logits(head, enc, chars), axis=-1
+    ))
+    for b in range(3):
+        n = int(lengths[b]) + 1 if int(lengths[b]) < 8 else 8
+        np.testing.assert_array_equal(tf[b, :n], out[b, :n])
+    # after END everything is END
+    for b in range(3):
+        if int(lengths[b]) < 8:
+            assert (out[b, int(lengths[b]):] == 3).all()
+
+
 @pytest.fixture(scope="module")
 def tiny_asr_setup():
     import jax
