@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--resume_state", type=str, default=None,
                    help="Resume from a full TrainState checkpoint "
                         "(state_epoch_N / best_wer_state dir)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="Accumulate gradients over N microbatches per "
+                        "optimizer step (batch_size must divide by N); "
+                        "exact full-batch equivalence")
     p.add_argument("--warmup_epochs", type=int, default=3)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_tokens", type=int, default=448)
@@ -104,6 +108,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         history_path="classical_whisper_asr_training_history.json",
         mesh=mesh,
+        grad_accum=args.grad_accum,
         save_state_every=args.save_every,
         resume_state=args.resume_state,
     )

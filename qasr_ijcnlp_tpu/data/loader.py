@@ -26,16 +26,33 @@ class DataLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count`` shard the dataset across
+        hosts for multi-process DP training (pass ``jax.process_index()`` /
+        ``jax.process_count()`` after ``parallel.initialize_distributed``):
+        every process shuffles the SAME global order (seeded identically)
+        and takes a disjoint strided slice, so the union of all processes'
+        epochs covers the dataset exactly once."""
+        assert 0 <= process_index < process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
-    def __len__(self):
+    def _shard_len(self):
         n = len(self.dataset)
+        # strided slice rank::count of a length-n sequence
+        return (n - self.process_index + self.process_count - 1) \
+            // self.process_count
+
+    def __len__(self):
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -45,6 +62,9 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
+            n = len(order)
         self.epoch += 1
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]

@@ -371,6 +371,7 @@ def train_token_asr(
     history_path: Optional[str] = None,
     compute_dtype: str = "float32",
     mesh=None,
+    grad_accum: int = 1,
     save_state_every: int = 0,
     resume_state: Optional[str] = None,
     log: Callable = print,
@@ -386,16 +387,22 @@ def train_token_asr(
     full state too — mirroring the reference's best+optimizer-state+periodic
     strategy (:500-525).  ``resume_state`` restores such a checkpoint
     (re-sharded onto ``mesh``) and continues optimization exactly
-    (tests/test_checkpoint.py pins resume parity)."""
+    (tests/test_checkpoint.py pins resume parity).
+
+    ``grad_accum`` > 1 accumulates gradients over that many microbatches per
+    optimizer step (exact full-batch-mean equivalence — see
+    step.make_accum_train_step); batch_size must be divisible by it."""
     import os
 
     from .checkpoint import restore_train_state, save_train_state
     from .schedule import warmup_cosine
     from .step import (
+        make_accum_train_step,
         make_optimizer,
         make_sharded_train_step,
         shard_state,
         whisper_loss_fn,
+        whisper_sum_loss_fn,
     )
 
     steps_per_epoch = max(len(train_loader), 1)
@@ -408,11 +415,17 @@ def train_token_asr(
     # tensor/sequence-parallel shard_map trunk (parallel/sharded.py) and
     # keys the jit cache per mesh.
     loss_fn = whisper_loss_fn(dims, compute_dtype, mesh=mesh)
+    accum_step = None
+    if grad_accum > 1:
+        accum_step = make_accum_train_step(
+            whisper_sum_loss_fn(dims, compute_dtype, mesh=mesh), tx, grad_accum
+        )
     if mesh is not None:
         state = shard_state(state, mesh)
-        step = make_sharded_train_step(loss_fn, tx, mesh)
+        step = make_sharded_train_step(loss_fn, tx, mesh, step_fn=accum_step)
     else:
-        step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+        step = jax.jit(accum_step or make_train_step(loss_fn, tx),
+                       donate_argnums=(0,))
     if resume_state:
         state = restore_train_state(resume_state, state, mesh=mesh)
         log(f"resumed full train state from {resume_state} "

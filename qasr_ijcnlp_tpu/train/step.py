@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import whisper as model
 from ..models.dims import ModelDimensions
 from .. import parallel
-from .loss import shifted_token_loss
+from .loss import shifted_token_loss, shifted_token_loss_sum
 
 
 class TrainState(NamedTuple):
@@ -114,6 +114,22 @@ def whisper_loss_fn(
     return loss_fn
 
 
+def whisper_sum_loss_fn(
+    dims: ModelDimensions, compute_dtype="float32", mesh: Optional[Mesh] = None
+) -> Callable:
+    """(params, mel, tokens) -> (CE sum, valid count) — the accumulation
+    form of :func:`whisper_loss_fn` (see loss.masked_cross_entropy_sum)."""
+
+    def loss_fn(params, mel, tokens):
+        inputs = jnp.maximum(tokens, 0)
+        logits = model.forward(
+            params, mel, inputs, dims, jnp.dtype(compute_dtype), mesh=mesh
+        )
+        return shifted_token_loss_sum(logits, tokens)
+
+    return loss_fn
+
+
 def make_train_step(
     loss_fn: Callable,
     tx: optax.GradientTransformation,
@@ -152,16 +168,87 @@ def make_train_step(
     return train_step
 
 
+def make_accum_train_step(
+    sum_loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    accum: int,
+    skip_nonfinite: bool = True,
+) -> Callable:
+    """Gradient-accumulation step: one optimizer update per call, gradients
+    summed over ``accum`` microbatches via ``lax.scan``.
+
+    ``sum_loss_fn`` must return ``(CE sum, valid count)`` (e.g.
+    :func:`whisper_sum_loss_fn`); dividing the accumulated grad-of-sum by
+    the total count reproduces the full-batch mean gradient EXACTLY, so
+    ``accum=k`` at batch B matches a single step at batch B (pinned by
+    tests/test_train.py).  The scan re-materializes activations per
+    microbatch — the memory win that lets a small chip train at large
+    effective batch.  Batch arrays must have a leading dim divisible by
+    ``accum``.  Jit with ``donate_argnums=(0,)``.
+    """
+
+    def f(params, *micro):
+        s, c = sum_loss_fn(params, *micro)
+        return s, c
+
+    def train_step(state: TrainState, *batch):
+        micro = tuple(
+            x.reshape((accum, x.shape[0] // accum) + x.shape[1:]) for x in batch
+        )
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+
+        def body(carry, mb):
+            gacc, sacc, cacc = carry
+            (s, c), g = jax.value_and_grad(f, has_aux=True)(state.params, *mb)
+            gacc = jax.tree.map(jnp.add, gacc, g)
+            return (gacc, sacc + s, cacc + c), None
+
+        (gsum, ssum, csum), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            micro,
+        )
+        csum = jnp.maximum(csum, 1.0)
+        grads = jax.tree.map(lambda x: x / csum, gsum)
+        loss = ssum / csum
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                opt_state,
+                state.opt_state,
+            )
+            skipped = (~ok).astype(jnp.int32)
+        else:
+            skipped = jnp.zeros((), jnp.int32)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm, "skipped": skipped},
+        )
+
+    return train_step
+
+
 def make_sharded_train_step(
-    loss_fn: Callable, tx: optax.GradientTransformation, mesh: Mesh
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    step_fn: Optional[Callable] = None,
 ) -> Callable:
     """Jitted train step whose inputs carry mesh shardings.
 
     Call with a state from :func:`shard_state`; batch arrays are data-sharded
     on entry.  The state buffers are donated so parameter/optimizer updates
-    happen in place in HBM.
+    happen in place in HBM.  ``step_fn`` overrides the default
+    :func:`make_train_step` body (e.g. a :func:`make_accum_train_step`).
     """
-    jitted = jax.jit(make_train_step(loss_fn, tx), donate_argnums=(0,))
+    jitted = jax.jit(step_fn or make_train_step(loss_fn, tx),
+                     donate_argnums=(0,))
 
     def run(state: TrainState, *batch):
         batch = tuple(parallel.shard_batch(b, mesh) for b in batch)

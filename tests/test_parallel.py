@@ -96,6 +96,40 @@ def test_sharded_train_step_runs_and_matches(params):
     assert max(jax.tree.leaves(diff)) < 1e-5
 
 
+def test_sharded_grad_accum_matches_plain_step(params):
+    """accum=2 under a dp x tp mesh equals the unsharded single step."""
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+    tx = train.make_optimizer(1e-3)
+
+    mel = np.random.default_rng(4).standard_normal(
+        (8, DIMS.n_mels, DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    tokens = np.full((8, DIMS.n_text_ctx), -100, np.int32)
+    tokens[:, :4] = np.random.default_rng(5).integers(1, DIMS.n_vocab, (8, 4))
+    tokens[5, 2:] = -100  # uneven valid counts across microbatches
+
+    ref_state = train.init_state(params, tx)
+    ref_step = train.make_train_step(train.whisper_loss_fn(DIMS), tx)
+    ref_state, ref_metrics = ref_step(ref_state, jnp.asarray(mel),
+                                      jnp.asarray(tokens))
+
+    own_params = jax.tree.map(lambda x: jnp.array(x), params)
+    state = train.shard_state(train.init_state(own_params, tx), mesh)
+    accum = train.make_accum_train_step(train.whisper_sum_loss_fn(DIMS), tx, 2)
+    step = train.make_sharded_train_step(None, tx, mesh, step_fn=accum)
+    with mesh:
+        state, metrics = step(state, jnp.asarray(mel), jnp.asarray(tokens))
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        ref_state.params,
+    )
+    assert max(jax.tree.leaves(diff)) < 1e-5
+
+
 def test_batch_sharding_layout():
     mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
     x = jnp.zeros((8, 4, 4))

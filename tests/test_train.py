@@ -318,3 +318,72 @@ def test_dataloader_epochs_differ():
     e2 = [tuple(b[1].tolist()) for b in loader]
     assert e1 != e2  # reshuffled per epoch
     assert len(e1) == 3
+
+
+def test_dataloader_process_sharding():
+    """Multi-host sharding: disjoint strided shards covering the dataset."""
+    view = [(np.float32(i), np.int32(i)) for i in range(11)]
+    seen = []
+    for rank in range(3):
+        loader = DataLoader(view, batch_size=2, shuffle=True, seed=7,
+                            process_index=rank, process_count=3)
+        got = [int(v) for b in loader for v in b[1].tolist()]
+        assert len(loader) == (len(got) + 1) // 2
+        seen.append(set(got))
+    assert seen[0] | seen[1] | seen[2] == set(range(11))
+    assert not (seen[0] & seen[1]) and not (seen[0] & seen[2]) \
+        and not (seen[1] & seen[2])
+    # same epoch counter -> same global order: deterministic re-shard
+    l0 = DataLoader(view, batch_size=2, shuffle=True, seed=7,
+                    process_index=0, process_count=3)
+    again = {int(v) for b in l0 for v in b[1].tolist()}
+    assert again == seen[0]
+
+
+def test_grad_accum_matches_single_step():
+    """accum=2 must reproduce the single full-batch step exactly (modulo fp
+    reassociation) even with UNEVEN valid-token counts per microbatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.models import whisper as cmodel
+    from qasr_ijcnlp_tpu.train.schedule import warmup_cosine
+    from qasr_ijcnlp_tpu.train.step import (
+        init_state,
+        make_accum_train_step,
+        make_optimizer,
+        make_train_step,
+        whisper_loss_fn,
+        whisper_sum_loss_fn,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = cmodel.init_params(key, TINY)
+    mel = np.asarray(jax.random.normal(jax.random.fold_in(key, 1),
+                                       (4, TINY.n_mels, TINY.n_audio_ctx * 2)))
+    tokens = np.array(
+        jax.random.randint(jax.random.fold_in(key, 2), (4, 8), 0, TINY.n_vocab)
+    )
+    # uneven padding: rows 0-1 keep 8 tokens, row 2 keeps 3, row 3 keeps 6
+    tokens[2, 3:] = -100
+    tokens[3, 6:] = -100
+
+    def make(accum):
+        tx = make_optimizer(warmup_cosine(1e-3, 2, 10))
+        state = init_state(jax.tree.map(jnp.array, params), tx)
+        if accum == 1:
+            step = jax.jit(make_train_step(whisper_loss_fn(TINY), tx))
+        else:
+            step = jax.jit(make_accum_train_step(
+                whisper_sum_loss_fn(TINY), tx, accum))
+        return step(state, jnp.asarray(mel), jnp.asarray(tokens))
+
+    s1, m1 = make(1)
+    s2, m2 = make(2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
