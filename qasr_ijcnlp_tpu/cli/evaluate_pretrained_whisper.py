@@ -81,8 +81,7 @@ def main(argv=None):
         model.shard(mesh)
         # Degrade, never refuse: pad the compiled batch shape up to a
         # multiple of the data axis; padding rows are decoded and discarded.
-        n_data = mesh.shape[parallel.DATA_AXIS]
-        eff_batch = -(-args.batch_size // n_data) * n_data
+        eff_batch = parallel.round_up_to_mesh(args.batch_size, mesh)
         print(f"Data-parallel eval over {mesh.devices.size} devices "
               f"(batch {args.batch_size} -> {eff_batch})")
 

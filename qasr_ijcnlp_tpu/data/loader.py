@@ -33,8 +33,14 @@ class DataLoader:
         hosts for multi-process DP training (pass ``jax.process_index()`` /
         ``jax.process_count()`` after ``parallel.initialize_distributed``):
         every process shuffles the SAME global order (seeded identically)
-        and takes a disjoint strided slice, so the union of all processes'
-        epochs covers the dataset exactly once."""
+        and takes a disjoint strided slice.  The order is first wrap-padded
+        to a multiple of ``process_count`` so every process sees the SAME
+        number of items (hence the same number of batches) — SPMD training
+        steps in lockstep across hosts, and a ragged tail would leave one
+        host waiting in a gradient all-reduce that never completes.  The
+        union of all shards covers the dataset exactly once, plus at most
+        ``process_count - 1`` wrapped duplicates when the length doesn't
+        divide."""
         assert 0 <= process_index < process_count
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,10 +52,9 @@ class DataLoader:
         self.epoch = 0
 
     def _shard_len(self):
+        # identical on every process: ceil(n / count) via wrap padding
         n = len(self.dataset)
-        # strided slice rank::count of a length-n sequence
-        return (n - self.process_index + self.process_count - 1) \
-            // self.process_count
+        return (n + self.process_count - 1) // self.process_count
 
     def __len__(self):
         n = self._shard_len()
@@ -63,6 +68,11 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if self.process_count > 1:
+            # wrap-pad so every shard has ceil(n / count) items and every
+            # host runs the same number of batches (see __init__ docstring)
+            pad = (-n) % self.process_count
+            if pad:
+                order = np.concatenate([order, order[:pad]])
             order = order[self.process_index :: self.process_count]
             n = len(order)
         self.epoch += 1

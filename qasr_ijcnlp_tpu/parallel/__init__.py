@@ -199,17 +199,25 @@ def encoder_block_specs(blocks) -> Any:
 from . import sharded  # noqa: E402  (shard_map tensor-parallel trunk)
 
 
+def round_up_to_mesh(n: int, mesh: Mesh) -> int:
+    """Round a batch size up to a multiple of the mesh's data-axis extent —
+    the one rounding rule every DP surface (serving, eval CLI,
+    :func:`pad_batch_to_mesh`) shares: sharding degrades by padding, never
+    refuses."""
+    n_data = mesh.shape[DATA_AXIS]
+    return -(-n // n_data) * n_data
+
+
 def pad_batch_to_mesh(batch, mesh: Mesh):
     """Pad the leading dim of ``batch`` array(s) up to a multiple of the
     mesh's data-axis extent by repeating the last row; returns (padded,
     real_count).  Sharding must degrade, never refuse: callers slice their
     per-row results back to ``real_count`` (e.g. a batch of 10 on 8 devices
     evaluates as 16 rows and discards 6)."""
-    n_data = mesh.shape[DATA_AXIS]
 
     def pad(x):
         b = x.shape[0]
-        target = -(-b // n_data) * n_data
+        target = round_up_to_mesh(b, mesh)
         if target == b:
             return x
         reps = jnp.repeat(x[-1:], target - b, axis=0)

@@ -85,7 +85,10 @@ def tp_trunk(params, x, dims, t_real: int, mesh: Mesh):
     def body(blocks, lnp, xx):
         if use_kernel and xx.shape[1] != Tp:
             xx = jnp.pad(xx, ((0, 0), (0, Tp - xx.shape[1]), (0, 0)))
-        t_mask = T if use_kernel else xx.shape[1]
+        # Always mask keys beyond the real length: x may arrive pre-padded
+        # (fused conv stem emits tile-padded rows), and the XLA fallback
+        # must not attend to the padding rows' LN(0) keys.
+        t_mask = T
 
         def layer(xc, bp):
             if use_kernel:

@@ -75,8 +75,7 @@ class BatchingTranscriber:
             # data axis — round it up.
             from . import parallel
 
-            n_data = self.mesh.shape[parallel.DATA_AXIS]
-            batch_size = -(-batch_size // n_data) * n_data
+            batch_size = parallel.round_up_to_mesh(batch_size, self.mesh)
             model.shard(self.mesh)
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
@@ -143,6 +142,15 @@ class BatchingTranscriber:
         if self._stop.is_set():
             return  # idempotent (called again by atexit)
         self._stop.set()
+        # Drop the atexit strong reference so a closed transcriber (and its
+        # full parameter tree / device buffers) can be garbage-collected
+        # instead of living until interpreter exit.
+        import atexit
+
+        try:
+            atexit.unregister(self.close)
+        except Exception:
+            pass
         # Generous join: an in-flight micro-batch (possibly compiling) must
         # complete before the runtime is torn down — see __init__'s atexit
         # note.  Workers check _stop every collect cycle (≤0.1 s idle).

@@ -426,10 +426,21 @@ def train_token_asr(
     else:
         step = jax.jit(accum_step or make_train_step(loss_fn, tx),
                        donate_argnums=(0,))
+    start_epoch = 0
     if resume_state:
         state = restore_train_state(resume_state, state, mesh=mesh)
+        # Resume the EPOCH loop where the restored optimizer step left off:
+        # the step counter increments once per loader batch, so step //
+        # steps_per_epoch is the number of completed epochs.  Without this
+        # the LR schedule (whose horizon is epochs * steps_per_epoch) would
+        # run past its cosine floor, epoch-keyed shuffles would replay from
+        # epoch 0, and state_epoch_N saves would clobber earlier ones.
+        start_epoch = min(int(state.step) // steps_per_epoch, epochs)
+        for ldr in (train_loader, val_loader):
+            if hasattr(ldr, "epoch"):
+                ldr.epoch = start_epoch
         log(f"resumed full train state from {resume_state} "
-            f"(step {int(state.step)})")
+            f"(step {int(state.step)}, continuing at epoch {start_epoch})")
     jloss = jax.jit(loss_fn)
 
     @jax.jit
@@ -440,7 +451,7 @@ def train_token_asr(
     history = TrainingHistory(history_path)
     history.config = {"epochs": epochs, "lr": learning_rate, "warmup": warmup_steps}
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         train_losses = []
         for batch in prefetch_to_device(iter(train_loader)):

@@ -379,12 +379,23 @@ def _transcribe_batched(
             **session.options, "prompt": list(initial_prompt_tokens)
         }
     if seek_clips:
+        # Mirror the sequential reference semantics (transcribe.py:272-283):
+        # the position only moves FORWARD across clips, so overlapping clips
+        # never re-decode the overlap (no duplicate windows), and a clip
+        # lying entirely beyond the audio content decodes nothing.
         starts, seg_sizes = [], {}
+        pos = 0
         for clip_start, clip_end in seek_clips:
+            pos = max(pos, clip_start)
             end = min(clip_end, content_frames)
-            for s in range(clip_start, max(end, clip_start + 1), N_FRAMES):
-                starts.append(s)
-                seg_sizes[s] = max(min(N_FRAMES, content_frames - s, end - s), 1)
+            while pos < end:
+                size = min(N_FRAMES, content_frames - pos, end - pos)
+                starts.append(pos)
+                seg_sizes[pos] = size
+                # advance by the (possibly clip-truncated) window size, like
+                # the sequential seek — a following overlapping clip then
+                # continues from this clip's end instead of re-decoding
+                pos += size
     else:
         starts = list(range(0, max(content_frames, 1), N_FRAMES))
         seg_sizes = {

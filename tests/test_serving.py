@@ -313,3 +313,24 @@ def test_data_parallel_serving(small_model):
         t.close()
     assert got["tokens"] == want["tokens"]
     assert got["text"] == want["text"]
+
+
+def test_close_releases_atexit_reference(small_model):
+    """close() must drop the atexit registration so a closed transcriber
+    (and its parameter tree) can be garbage-collected instead of living
+    until interpreter exit (round-3 advisor-style leak fix)."""
+    import atexit
+    import gc
+    import weakref
+
+    from qasr_ijcnlp_tpu.serving import BatchingTranscriber
+
+    t = BatchingTranscriber(small_model, batch_size=1, max_wait_ms=5)
+    ref = weakref.ref(t)
+    t.close()
+    # registering again after unregister would resurrect it at exit; make
+    # sure close() is idempotent too
+    t.close()
+    del t
+    gc.collect()
+    assert ref() is None, "closed transcriber still reachable (atexit leak)"

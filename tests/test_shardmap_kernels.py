@@ -433,3 +433,38 @@ def test_pp_dispatch_when_neither_heads_nor_time_divide():
     )
     assert out.shape == base.shape
     np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("use_kernel", [True, False])
+def test_tp_trunk_padded_input_masks_padding(params, use_kernel):
+    """x arriving tile-padded (the fused conv stem emits Tp >= t_real rows
+    of which the tail is zeros): the padding rows must be masked as
+    attention KEYS on both the kernel and the XLA-fallback paths.
+    Regression: the fallback used to take t_mask from xx.shape[1], so
+    pre-padded input attended the padding rows' LN(0) keys."""
+    from qasr_ijcnlp_tpu.parallel import sharded
+
+    try:
+        mesh = parallel.make_mesh(jax.devices()[:4], model_parallel=2)
+        T, Tp = 500, 512
+        rng = np.random.default_rng(11)
+        x = 0.3 * rng.standard_normal(
+            (4, T, DIMS.n_audio_state)
+        ).astype(np.float32)
+        xp = np.zeros((4, Tp, DIMS.n_audio_state), np.float32)
+        xp[:, :T] = x
+
+        cmodel.set_flash_attention(False)
+        base = np.asarray(
+            cmodel.transformer_trunk(params["encoder"], jnp.asarray(x), DIMS)
+        )
+
+        cmodel.set_flash_attention(use_kernel)
+        sp = parallel.shard_params(params, mesh)
+        spad = parallel.shard_batch(jnp.asarray(xp), mesh)
+        out = np.asarray(
+            sharded.tp_trunk(sp["encoder"], spad, DIMS, T, mesh)
+        )[:, :T]
+        np.testing.assert_allclose(out, base, atol=5e-4, rtol=5e-4)
+    finally:
+        cmodel.set_flash_attention(None)

@@ -321,22 +321,29 @@ def test_dataloader_epochs_differ():
 
 
 def test_dataloader_process_sharding():
-    """Multi-host sharding: disjoint strided shards covering the dataset."""
+    """Multi-host sharding: equal-length shards (wrap-padded) covering the
+    dataset — every host must run the SAME number of batches, or one host
+    would block forever in a gradient all-reduce the others never enter."""
     view = [(np.float32(i), np.int32(i)) for i in range(11)]
-    seen = []
+    seen, counts = [], []
     for rank in range(3):
         loader = DataLoader(view, batch_size=2, shuffle=True, seed=7,
                             process_index=rank, process_count=3)
-        got = [int(v) for b in loader for v in b[1].tolist()]
-        assert len(loader) == (len(got) + 1) // 2
-        seen.append(set(got))
-    assert seen[0] | seen[1] | seen[2] == set(range(11))
-    assert not (seen[0] & seen[1]) and not (seen[0] & seen[2]) \
-        and not (seen[1] & seen[2])
+        batches = [b[1].tolist() for b in loader]
+        got = [int(v) for b in batches for v in b]
+        assert len(loader) == len(batches)
+        counts.append((len(got), len(batches)))
+        seen.append(got)
+    # lockstep: identical item AND batch counts on every host (11 -> 4 each)
+    assert len(set(counts)) == 1 and counts[0] == (4, 2)
+    union = set(seen[0]) | set(seen[1]) | set(seen[2])
+    assert union == set(range(11))
+    # the only overlap is the <= count-1 wrap-padded duplicates
+    assert sum(c[0] for c in counts) - len(union) == 1
     # same epoch counter -> same global order: deterministic re-shard
     l0 = DataLoader(view, batch_size=2, shuffle=True, seed=7,
                     process_index=0, process_count=3)
-    again = {int(v) for b in l0 for v in b[1].tolist()}
+    again = [int(v) for b in l0 for v in b[1].tolist()]
     assert again == seen[0]
 
 
@@ -387,3 +394,74 @@ def test_grad_accum_matches_single_step():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_train_token_asr_resume_continues_epochs(tmp_path):
+    """--resume_state continues the EPOCH loop where the restored optimizer
+    step left off: the resumed run must reproduce the uninterrupted run's
+    final params exactly (same LR schedule horizon, same epoch-keyed
+    shuffles), log only the remaining epochs, and not clobber earlier
+    state_epoch_N checkpoints."""
+    import copy
+    import os
+
+    import jax
+
+    from qasr_ijcnlp_tpu.models import whisper as cmodel
+    from qasr_ijcnlp_tpu.train.loops import train_token_asr
+
+    dims = ModelDimensions(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+        n_audio_layer=1, n_vocab=64, n_text_ctx=8, n_text_state=16,
+        n_text_head=2, n_text_layer=1,
+    )
+    params = cmodel.init_params(jax.random.PRNGKey(0), dims)
+
+    class _Tok:
+        eot = 50
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    rng = np.random.default_rng(3)
+    data = []
+    for i in range(4):
+        mel = 0.1 * rng.standard_normal(
+            (dims.n_mels, 2 * dims.n_audio_ctx)
+        ).astype(np.float32)
+        toks = np.full((dims.n_text_ctx,), -100, np.int32)
+        toks[:4] = [1, 5 + i, 6, 2]
+        data.append((mel, toks))
+
+    def loader():
+        return DataLoader(data, batch_size=2, shuffle=True, seed=9)
+
+    kw = dict(save_state_every=2, learning_rate=1e-3, warmup_steps=2,
+              log=lambda *a, **k: None)
+
+    # Uninterrupted 4-epoch run; its state_epoch_1 save plays the role of
+    # the checkpoint an interrupted run would have left behind (same LR
+    # horizon, same optimizer trajectory through epoch 1).
+    ckpt_dir = str(tmp_path / "run")
+    full = train_token_asr(
+        copy.deepcopy(params), dims, _Tok(), loader(), None, epochs=4,
+        checkpoint_dir=ckpt_dir, **kw)
+    ckpt = os.path.join(ckpt_dir, "state_epoch_1")
+    assert os.path.exists(ckpt)
+    before = os.path.getmtime(ckpt)
+
+    resumed = train_token_asr(
+        copy.deepcopy(params), dims, _Tok(), loader(), None, epochs=4,
+        checkpoint_dir=ckpt_dir, resume_state=ckpt, **kw)
+
+    # only the remaining epochs ran, numbered where the run left off
+    assert [e["epoch"] for e in resumed["history"].epochs] == [2, 3]
+    # epoch-1 checkpoint untouched; epoch-3 checkpoint added
+    assert os.path.getmtime(ckpt) == before
+    assert os.path.exists(os.path.join(ckpt_dir, "state_epoch_3"))
+    # final params identical to the uninterrupted run
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        resumed["params"], full["params"],
+    )

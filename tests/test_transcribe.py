@@ -327,3 +327,44 @@ def test_transcribe_batch_windows_warns_on_hallucination_gate(tiny_model):
     assert any(
         "hallucination_silence_threshold" in str(w.message) for w in caught
     )
+
+
+def test_transcribe_batch_windows_overlapping_clips(tiny_model):
+    """Overlapping clips never re-decode the overlap: the reference's seek
+    is monotonic across clips (transcribe.py:272-283), so the batched path
+    must commit each window at most once and continue a later overlapping
+    clip from the previous clip's end."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    kw = dict(
+        language="en", temperature=0.0, sample_len=8,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    audio = _synthetic_speechish_audio(6.0, seed=3)
+    dup = transcribe(
+        tiny_model, audio, clip_timestamps="0,2,0,4", batch_windows=2, **kw
+    )
+    keys = [(s["seek"], s["start"], s["text"]) for s in dup["segments"]]
+    assert len(keys) == len(set(keys)), "window committed more than once"
+    seeks = [s["seek"] for s in dup["segments"]]
+    assert seeks == sorted(seeks)
+    # the second clip resumes at the first clip's end (seek 200), not at 0
+    assert set(seeks) <= {0, 200}
+
+
+def test_transcribe_batch_windows_clip_beyond_audio(tiny_model):
+    """A clip lying entirely past the audio content decodes nothing (the
+    sequential loop never seeks past content_frames) instead of committing
+    a hallucinated window of pure padding."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    res = transcribe(
+        tiny_model, _synthetic_speechish_audio(4.0, seed=5),
+        clip_timestamps="100,110", batch_windows=2,
+        language="en", temperature=0.0, sample_len=8,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    assert res["segments"] == []
+    assert res["text"] == ""
