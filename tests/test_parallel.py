@@ -330,3 +330,34 @@ def test_pad_batch_to_mesh_degrades_non_dividing_batches():
     np.testing.assert_array_equal(
         np.asarray(padded[10:]), np.tile(np.asarray(x[-1:]), (6, 1))
     )
+
+
+def test_tensor_parallel_decode_matches_single_device(params):
+    """Greedy decode with the DECODER weights head-sharded over the model
+    axis (dp=4 x tp=2): GSPMD partitions the incremental decoder step
+    (column-parallel QKV, row-parallel out/proj with compiler-inserted
+    collectives) and the tokens must match single-device execution —
+    tensor-parallel inference for family members too big for one chip."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+
+    m = WhisperModel(params, DIMS, name="tp-dec")
+    mel = np.random.default_rng(17).standard_normal(
+        (8, DIMS.n_mels, DIMS.n_audio_ctx * 2)
+    ).astype(np.float32)
+    opts = DecodingOptions(
+        language="en", without_timestamps=True, sample_len=6, fp16=False
+    )
+    base = decode(m, jnp.asarray(mel), opts)
+
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+    m_tp = WhisperModel(params, DIMS, name="tp-dec-sharded").shard(mesh)
+    sharded = decode(
+        m_tp, parallel.shard_batch(jnp.asarray(mel), mesh), opts
+    )
+    for a, b in zip(base, sharded):
+        assert list(a.tokens) == list(b.tokens)
+    # avg_logprob parity guards the logits path (vocab-replicated matmul
+    # over the psum-completed hidden state)
+    for a, b in zip(base, sharded):
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, rtol=1e-4)
