@@ -96,7 +96,8 @@ class _LazyFeaturesRow:
         return self._host()[key]
 
     def __len__(self):
-        return self._host().shape[0]
+        # answerable from metadata — must not force the device->host fetch
+        return int(self._batch.shape[1])
 
     @property
     def shape(self):
@@ -132,17 +133,11 @@ def _compute_dtype(fp16: bool) -> str:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "compute_dtype", "quantum", "mesh")
+    jax.jit, static_argnames=("dims", "compute_dtype", "mesh")
 )
-def _encode_mel(params, mel, dims, compute_dtype, quantum=False, mesh=None):
-    if quantum:
-        from ..models.quantum import quantum_encoder_apply
-
-        return quantum_encoder_apply(
-            params["encoder"], mel, dims, jnp.dtype(compute_dtype), mesh=mesh
-        )
-    return model.encoder_apply(
-        params["encoder"], mel, dims, jnp.dtype(compute_dtype), mesh=mesh
+def _encode_mel(params, mel, dims, compute_dtype, mesh=None):
+    return model.dispatch_encoder_apply(
+        params["encoder"], mel, dims, jnp.dtype(compute_dtype), mesh=mesh,
     )
 
 
@@ -150,9 +145,8 @@ def _audio_features(model_obj, mel: jnp.ndarray, fp16: bool) -> jnp.ndarray:
     dims = model_obj.dims
     if mel.shape[-2:] == (dims.n_audio_ctx, dims.n_audio_state):
         return mel  # already encoded
-    quantum = "qconv1" in model_obj.params["encoder"]
     return _encode_mel(
-        model_obj.params, mel, dims, _compute_dtype(fp16), quantum,
+        model_obj.params, mel, dims, _compute_dtype(fp16),
         mesh=getattr(model_obj, "mesh", None),
     )
 
@@ -311,6 +305,18 @@ class DecodingTask:
                 prompt_tokens = prompt_tokens[-keep:] if keep else []
             if prompt_tokens:
                 tokens = [self.tokenizer.sot_prev] + prompt_tokens + tokens
+        if len(tokens) > self.n_ctx:
+            # The reference's default sample_len makes max_prefix_len 0, so
+            # a prefix is never trimmed ([-0:] is a no-op, decoding.py:
+            # 597-598) and an overlong one crashes its positional-embedding
+            # lookup.  Same contract here, but fail with a message instead
+            # of an opaque XLA shape error out of the jitted loop.
+            raise ValueError(
+                f"initial tokens (sot sequence + prefix/prompt) are "
+                f"{len(tokens)} long, exceeding the decoder context "
+                f"{self.n_ctx}; shorten prefix/prompt or pass a sample_len "
+                f"below n_text_ctx//2 so the prefix budget is positive"
+            )
         return tuple(tokens)
 
     def _get_suppress_tokens(self) -> Tuple[int, ...]:
@@ -324,6 +330,10 @@ class DecodingTask:
             suppress_tokens = []
         else:
             assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
+            # copy: the extend below must not mutate the caller's
+            # DecodingOptions list (the reference aliases it, decoding.py:
+            # 615-641 — a repeated-decode leak we do not reproduce)
+            suppress_tokens = list(suppress_tokens)
 
         suppress_tokens.extend(
             [
@@ -446,9 +456,6 @@ class DecodingTask:
             for i in range(n_audio)
         ]
 
-    def _is_quantum(self) -> bool:
-        return "qconv1" in self.model.params["encoder"]
-
     def _run_greedy(self, audio_input, init_rep, fuse_encode: bool = False):
         n_rep = init_rep.shape[0]
         n_audio = n_rep // self.n_group
@@ -461,7 +468,6 @@ class DecodingTask:
             rng,
             float(self.options.temperature),
             encode=fuse_encode,
-            quantum=fuse_encode and self._is_quantum(),
         )
         # One batched device->host fetch (per-array np.asarray costs a round
         # trip each over a tunneled device link).
@@ -490,7 +496,6 @@ class DecodingTask:
                 K,
                 C,
                 encode=fuse_encode,
-                quantum=fuse_encode and self._is_quantum(),
             )
         )
         beams, beam_scores, fin_toks, fin_scores, fin_count, no_speech = (

@@ -74,7 +74,15 @@ def build_config(
         suppress_blank=suppress_blank,
         suppress_mask=suppress_mask,
         blank_mask=blank_mask,
-        apply_timestamp_rules=not without_timestamps,
+        # Timestamp rules only make sense when timestamp tokens exist in the
+        # head: with a vocab-truncated model (n_vocab <= timestamp_begin,
+        # only possible for custom test/research dims — every official
+        # checkpoint has the full vocab) the "first sampled token must be a
+        # timestamp" rule would mask the ENTIRE vocab to -inf and poison
+        # sum_logprobs with NaN.
+        apply_timestamp_rules=(
+            not without_timestamps and tokenizer.timestamp_begin < n_vocab
+        ),
         max_initial_timestamp_index=max_initial_timestamp_index,
     )
 

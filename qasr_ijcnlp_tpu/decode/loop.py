@@ -62,19 +62,15 @@ class LoopConfig(NamedTuple):
     unroll: int = 4
 
 
-def _encode_audio(params, mel, cfg: LoopConfig, quantum: bool):
+def _encode_audio(params, mel, cfg: LoopConfig):
     """Encoder forward inside the decode jit: fusing mel -> features -> token
     loop into ONE program saves a host round trip per decode call (the
-    tunneled device link costs ~25 ms of dispatch latency per jitted call)."""
-    dtype = jnp.dtype(cfg.compute_dtype)
-    if quantum:
-        from ..models.quantum import quantum_encoder_apply
-
-        return quantum_encoder_apply(
-            params["encoder"], mel, cfg.dims, dtype, mesh=cfg.mesh
-        )
-    return model.encoder_apply(
-        params["encoder"], mel, cfg.dims, dtype, mesh=cfg.mesh
+    tunneled device link costs ~25 ms of dispatch latency per jitted call).
+    The quantum-vs-classical variant is derived from the params tree by
+    dispatch_encoder_apply."""
+    return model.dispatch_encoder_apply(
+        params["encoder"], mel, cfg.dims, jnp.dtype(cfg.compute_dtype),
+        mesh=cfg.mesh,
     )
 
 
@@ -143,16 +139,48 @@ def _update_ts_state(last, prev, max_ts, next_tok, ts_begin):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "encode", "quantum"))
 def greedy_decode(
+    params,
+    cfg: LoopConfig,
+    audio_input: jnp.ndarray,
+    initial_tokens: jnp.ndarray,
+    rng: jnp.ndarray,
+    temperature: float = 0.0,
+    encode: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Un-jitted entry: derives the static argmax-vs-categorical program
+    choice from the CONCRETE temperature and passes the value itself as a
+    traced scalar, so the fallback ladder's re-decodes (0.2..1.0) all reuse
+    ONE compiled sampling program (and t=0 one argmax program) — a direct
+    caller can never silently pair a nonzero temperature with the argmax
+    program."""
+    t = float(temperature)
+    return _greedy_decode_jit(
+        params, cfg, audio_input, initial_tokens, rng, jnp.float32(t),
+        sample=(t != 0.0), encode=encode,
+    )
+
+
+def greedy_cache_size() -> int:
+    """Compiled greedy-loop program count (diagnostic/test hook; isolates
+    jax's private jit-cache counter in one place).  -1 if the private API
+    is unavailable in this jax version."""
+    try:
+        return _greedy_decode_jit._cache_size()
+    except AttributeError:
+        return -1
+
+
+@partial(jax.jit, static_argnames=("cfg", "sample", "encode"))
+def _greedy_decode_jit(
     params,
     cfg: LoopConfig,
     audio_input: jnp.ndarray,  # (B_audio, Ta, D) features, or mel if encode
     initial_tokens: jnp.ndarray,  # (B_audio * groups, sample_begin)
     rng: jnp.ndarray,
-    temperature: float = 0.0,
+    temperature: jnp.ndarray = 0.0,  # traced: one compile serves the ladder
+    sample: bool = False,  # static: argmax (False) vs categorical program
     encode: bool = False,
-    quantum: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens_buf (B, n_ctx+1), final_len, sum_logprobs, no_speech,
     audio_features).  With ``encode=True``, ``audio_input`` is the (B, n_mels,
@@ -162,7 +190,7 @@ def greedy_decode(
     eot = cfg.eot
 
     audio_features = (
-        _encode_audio(params, audio_input, cfg, quantum) if encode
+        _encode_audio(params, audio_input, cfg) if encode
         else audio_input
     )
     cache, logits, no_speech_probs = _prompt_pass(
@@ -198,7 +226,11 @@ def greedy_decode(
             filtered = apply_filters(
                 cfg.filters, logits, cur_len, last, prev, max_ts
             )
-            if temperature == 0.0:
+            # Only the argmax-vs-categorical choice changes program
+            # structure; the temperature VALUE is a traced scalar so the
+            # fallback ladder (0.2..1.0) reuses ONE compiled program instead
+            # of recompiling the whole encoder+loop per temperature.
+            if not sample:
                 next_tok = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
             else:
                 rng, key = jax.random.split(rng)
@@ -251,7 +283,7 @@ def greedy_decode(
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "max_candidates",
-                                   "encode", "quantum"))
+                                   "encode"))
 def beam_decode(
     params,
     cfg: LoopConfig,
@@ -260,7 +292,6 @@ def beam_decode(
     beam_size: int,
     max_candidates: int,
     encode: bool = False,
-    quantum: bool = False,
 ):
     """Fixed-shape beam search with a bounded finished set.
 
@@ -275,7 +306,7 @@ def beam_decode(
     eot = cfg.eot
 
     audio_features = (
-        _encode_audio(params, audio_input, cfg, quantum) if encode
+        _encode_audio(params, audio_input, cfg) if encode
         else audio_input
     )
     cache, logits, no_speech_all = _prompt_pass(

@@ -283,6 +283,28 @@ def _conv1d(x, p, stride: int):
     )
 
 
+def dispatch_encoder_apply(
+    params: Params,
+    mel: jnp.ndarray,
+    dims: ModelDimensions,
+    compute_dtype=jnp.float32,
+    mesh=None,
+) -> jnp.ndarray:
+    """The one quantum-vs-classical encoder dispatch, shared by the fused
+    decode program (decode/loop.py) and the standalone feature/lang-detect
+    path (decode/__init__.py).  The variant is derived from the params tree
+    itself (dict-key membership is trace-static under jit), so a caller can
+    never pair quantum weights with the classical stem.  The MoE encoder
+    (models/moe.py) is a training-surface trunk and is deliberately NOT
+    routed here; decoding uses the dense encoders only."""
+    if "qconv1" in params:
+        from .quantum import quantum_encoder_apply
+
+        return quantum_encoder_apply(params, mel, dims, compute_dtype,
+                                     mesh=mesh)
+    return encoder_apply(params, mel, dims, compute_dtype, mesh=mesh)
+
+
 def encoder_apply(
     params: Params,
     mel: jnp.ndarray,

@@ -208,3 +208,82 @@ def test_audio_features_lazy_single_transfer(models):
     assert rows[1]._cell[0] is not None
     np.testing.assert_array_equal(np.asarray(rows[1]), rows[1]._cell[0][1])
     assert rows[0].shape == host0.shape
+
+
+def test_temperature_ladder_reuses_one_compiled_program(models):
+    """Nonzero temperature is a traced scalar: the fallback ladder's
+    re-decodes (0.2..1.0) must all hit ONE compiled sampling program (and
+    t=0 one argmax program) instead of recompiling the fused
+    encoder+decode-loop per temperature value."""
+    from qasr_ijcnlp_tpu.decode import loop as _loop
+
+    _, jm = models
+    _our_decode(jm, _mel(seed=61)[0], without_timestamps=True,
+                temperature=0.2, sample_len=4)
+    n_after_first = _loop.greedy_cache_size()
+    if n_after_first < 0:
+        pytest.skip("jit cache counter unavailable in this jax version")
+    for t in (0.4, 0.6, 0.8, 1.0):
+        _our_decode(jm, _mel(seed=61)[0], without_timestamps=True,
+                    temperature=t, sample_len=4)
+    assert _loop.greedy_cache_size() == n_after_first
+
+
+def test_decode_does_not_mutate_suppress_tokens(models):
+    """The caller's DecodingOptions list must not grow across decodes (the
+    reference aliases and extends it in place, decoding.py:615-641)."""
+    _, jm = models
+    user_list = [50257]
+    for _ in range(2):
+        _our_decode(jm, _mel(seed=67)[0], without_timestamps=True,
+                    sample_len=4, suppress_tokens=user_list)
+    assert user_list == [50257]
+
+
+def test_overlong_prefix_raises_clear_error(models):
+    """An initial-token sequence longer than n_text_ctx fails with a
+    ValueError naming the budget, not an opaque XLA shape error."""
+    _, jm = models
+    # default sample_len = n_ctx//2 makes the reference's prefix budget 0
+    # (never trimmed), so this prefix overflows the context
+    with pytest.raises(ValueError, match="exceeding the decoder context"):
+        _our_decode(jm, _mel(seed=71)[0], without_timestamps=True,
+                    prefix=list(range(100, 100 + DIMS.n_text_ctx)))
+
+
+def test_lazy_features_len_needs_no_transfer(models):
+    """len(result.audio_features) answers from shape metadata without
+    forcing the whole-batch device->host fetch."""
+    _, jm = models
+    res = _our_decode(jm, _mel(batch=2, seed=73), without_timestamps=True,
+                      sample_len=4)
+    row = res[0].audio_features
+    assert len(row) == DIMS.n_audio_ctx
+    assert row._cell[0] is None, "len() must not trigger the host fetch"
+
+
+def test_truncated_vocab_timestamp_mode_stays_finite():
+    """A vocab-truncated head (n_vocab <= timestamp_begin — custom research
+    dims) decoded WITH timestamps: the timestamp grammar is auto-disabled
+    instead of masking the whole vocab to -inf and poisoning avg_logprob
+    with NaN."""
+    import jax
+
+    from qasr_ijcnlp_tpu.models import whisper as cmodel
+
+    dims = ModelDimensions(
+        n_mels=16, n_audio_ctx=32, n_audio_state=32, n_audio_head=2,
+        n_audio_layer=1, n_vocab=600, n_text_ctx=16, n_text_state=32,
+        n_text_head=2, n_text_layer=1,
+    )
+    params = cmodel.init_params(jax.random.PRNGKey(2), dims)
+    m = WhisperModel(params, dims, name="trunc-vocab")
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+
+    mel = np.random.default_rng(3).standard_normal(
+        (1, 16, 64)
+    ).astype(np.float32)
+    res = decode(m, mel[0], DecodingOptions(
+        fp16=False, language="en", without_timestamps=False, sample_len=4
+    ))
+    assert np.isfinite(res.avg_logprob)
