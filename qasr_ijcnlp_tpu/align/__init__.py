@@ -165,38 +165,61 @@ class WordTiming:
     probability: float
 
 
-@partial(jax.jit, static_argnames=("dims", "medfilt_width", "num_frames_tok", "eot"))
-def _alignment_tensors(
+@partial(jax.jit, static_argnames=("dims", "eot"))
+def _cross_qk_tensors(
     params,
-    tokens: jnp.ndarray,  # (1, T) int32
+    tokens: jnp.ndarray,  # (1, T_pad) int32
     xa: jnp.ndarray,  # (1, 1500, D)
-    head_mask: jnp.ndarray,  # (L, H) bool
+    head_idx: jnp.ndarray,  # (n_sel,) int32 flat indices into L*H
     dims,
-    medfilt_width: int,
-    num_frames_tok: int,
-    qk_scale: float,
     eot: int,
 ):
-    """Logits softmax probs + z-normed median-filtered alignment matrix."""
+    """Teacher-forced decoder pass: per-token probs + the SELECTED alignment
+    heads' raw cross-attention logits.
+
+    Shapes depend only on the bucketed token length and the (per-model
+    constant) selected-head count, so this — the expensive decoder graph —
+    compiles once per token bucket.  Gathering the heads HERE (vs masking
+    after the fact) keeps everything downstream at n_sel rows instead of
+    L*H: for large (32x20=640 heads, ~20 selected) that is the difference
+    between a ~12 GB and a ~0.4 GB median-filter intermediate — the
+    reference stacks only the selected heads too (timing.py:206-207)."""
     logits, qks = model.decoder_apply_with_cross_qk(
         params["decoder"], tokens, xa, dims
     )
     # Renormalize over non-special tokens only (timing.py:198-199).
     probs = jax.nn.softmax(logits[0, :, :eot], axis=-1)
-
-    # (L, B=1, H, T, Ta) -> select alignment heads -> (heads, T, frames)
     L, _, H, T, Ta = qks.shape
-    w = qks[:, 0].reshape(L * H, T, Ta)
-    w = w[:, :, :num_frames_tok]
+    w = qks[:, 0].reshape(L * H, T, Ta)[head_idx]
+    return probs, w
+
+
+@partial(
+    jax.jit, static_argnames=("medfilt_width", "num_frames_tok", "t_real")
+)
+def _alignment_matrix(
+    w: jnp.ndarray,  # (n_sel, T_pad, 1500) raw cross-attention logits
+    qk_scale: jnp.ndarray,  # traced f32 scalar
+    medfilt_width: int,
+    num_frames_tok: int,
+    t_real: int,
+):
+    """Exact reference pipeline (timing.py:207-215) over the REAL rows and
+    frames only: slice -> softmax -> z-norm over the token axis (ddof=0,
+    real rows only — padded rows must not shift the per-column statistics)
+    -> median filter -> head mean.  Static args are (width, frames, tokens):
+    this stage recompiles per distinct final-window size, but it is a small
+    elementwise+sort graph — the expensive decoder stage above is shape-
+    stable.  The reference's short-input guard (timing.py:22-24: inputs no
+    wider than the half-filter pass through unfiltered) applies here too."""
+    w = w[:, :t_real, :num_frames_tok]
     w = jax.nn.softmax(w * qk_scale, axis=-1)
     mean = jnp.mean(w, axis=-2, keepdims=True)
     std = jnp.std(w, axis=-2, keepdims=True)
     w = (w - mean) / std
-    w = _median_filter_jit(w, medfilt_width)
-    # Masked mean over the selected heads.
-    sel = head_mask.reshape(L * H).astype(w.dtype)
-    matrix = jnp.einsum("s,stf->tf", sel, w) / jnp.maximum(jnp.sum(sel), 1.0)
-    return probs, matrix
+    if num_frames_tok > medfilt_width // 2:
+        w = _median_filter_jit(w, medfilt_width)
+    return jnp.mean(w, axis=0)
 
 
 def find_alignment(
@@ -208,9 +231,24 @@ def find_alignment(
     *,
     medfilt_width: int = 7,
     qk_scale: float = 1.0,
+    audio_features=None,
 ) -> List[WordTiming]:
-    """Token-to-time alignment via cross-attention DTW (timing.py:163-242)."""
+    """Token-to-time alignment via cross-attention DTW (timing.py:163-242).
+
+    ``audio_features`` (optional, (1500, D) or (1, 1500, D) float32) reuses
+    already-encoded features for this window — the transcribe loop encodes
+    every window for decoding moments before aligning it, so passing them
+    here halves the per-window encoder cost.  Non-float32 features (e.g. a
+    bf16 decode) are re-encoded instead, keeping alignment numerics
+    identical to the standalone path.
+    """
     if len(text_tokens) == 0:
+        return []
+    nf = num_frames // 2
+    if nf == 0:
+        # A sliver window shorter than one output frame has nothing to
+        # align against (the reference crashes on this edge; we return no
+        # word timings instead).
         return []
 
     tokens = [
@@ -221,29 +259,42 @@ def find_alignment(
     ]
     T_real = len(tokens)
     # Bucket the token length so XLA compiles few signatures; causal
-    # self-attention + per-row cross-attention make pad rows inert.
+    # self-attention + per-row cross-attention make pad rows inert (the
+    # pad rows are sliced away before the z-norm statistics).
     T_pad = _bucket(T_real, 32)
     tok_arr = np.full((1, T_pad), tokenizer.eot, np.int32)
     tok_arr[0, :T_real] = tokens
 
-    if mel.ndim == 2:
-        mel = mel[None]
-    xa = model_obj.embed_audio(jnp.asarray(mel))
+    xa = None
+    if audio_features is not None:
+        if hasattr(audio_features, "device_row"):
+            # DecodingResult.audio_features lazy row: slice on device
+            # instead of jnp.asarray, which would fetch the whole batch to
+            # host and back
+            audio_features = audio_features.device_row()
+        feat = jnp.asarray(audio_features)
+        if feat.dtype == jnp.float32:
+            xa = feat[None] if feat.ndim == 2 else feat
+    if xa is None:
+        if mel.ndim == 2:
+            mel = mel[None]
+        xa = model_obj.embed_audio(jnp.asarray(mel))
 
     heads = model_obj.alignment_heads
     if heads is None:
         heads = model_obj.default_alignment_heads()
+    head_idx = np.flatnonzero(np.asarray(heads).reshape(-1)).astype(np.int32)
 
-    probs, matrix = _alignment_tensors(
+    probs, w = _cross_qk_tensors(
         model_obj.params,
         jnp.asarray(tok_arr),
         xa,
-        jnp.asarray(heads),
+        jnp.asarray(head_idx),
         model_obj.dims,
-        medfilt_width,
-        num_frames // 2,
-        qk_scale,
         tokenizer.eot,
+    )
+    matrix = _alignment_matrix(
+        w, jnp.float32(qk_scale), medfilt_width, nf, T_real
     )
     probs = np.asarray(probs)
     matrix = np.asarray(matrix)
@@ -450,8 +501,11 @@ def add_word_timestamps(
     word_index = 0
 
     for segment, seg_text_tokens in zip(segments, text_tokens_per_segment):
-        # Walk the alignment until this segment's token budget is spent;
-        # entries emptied by merge_punctuations still count their tokens.
+        # Walk the alignment until this segment's token budget is spent.
+        # Entries emptied by merge_punctuations have tokens=[] and count 0
+        # here; their tokens are charged to the ABSORBING entry when it is
+        # walked (which may sit in the adjacent segment when punctuation
+        # merges across a boundary — reference-parity behavior).
         saved_tokens = 0
         words = []
         while word_index < len(alignment) and saved_tokens < len(seg_text_tokens):

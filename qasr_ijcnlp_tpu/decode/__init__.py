@@ -99,6 +99,12 @@ class _LazyFeaturesRow:
         # answerable from metadata — must not force the device->host fetch
         return int(self._batch.shape[1])
 
+    def device_row(self):
+        """This row as a DEVICE array (no host round trip) — for consumers
+        feeding the features back into jitted code, e.g. word-timing
+        alignment reusing the window's decode features."""
+        return self._batch[self._index]
+
     @property
     def shape(self):
         return tuple(self._batch.shape[1:])

@@ -477,6 +477,7 @@ def _transcribe_batched(
                 prepend_punctuations=prepend_punctuations,
                 append_punctuations=append_punctuations,
                 last_speech_timestamp=session.last_speech_timestamp,
+                audio_features=result.audio_features,
             )
             last_word_end = get_end(segments)
             if last_word_end is not None:
@@ -684,6 +685,9 @@ def transcribe(
                     prepend_punctuations=prepend_punctuations,
                     append_punctuations=append_punctuations,
                     last_speech_timestamp=session.last_speech_timestamp,
+                    # reuse the features this window was just decoded from
+                    # (find_alignment re-encodes only if they aren't f32)
+                    audio_features=result.audio_features,
                 )
                 if not single_ts_ending:
                     last_word_end = get_end(current_segments)

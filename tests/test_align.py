@@ -108,3 +108,72 @@ def test_find_alignment_parity(ref, tiny_pair, rng):
     diff = np.abs(ours_t - ref_t)
     assert np.median(diff) <= 0.02, diff
     assert np.mean(diff <= 0.04) >= 0.7, diff
+
+
+def test_alignment_matrix_ignores_padded_token_rows():
+    """The z-norm statistics must come from the REAL token rows only: the
+    eot padding rows introduced by token-length bucketing used to shift
+    every column's mean/std (and hence the DTW cost) whenever T_real was
+    not a multiple of 32.  The pipeline must also reproduce the reference
+    math (timing.py:207-215) step for step."""
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu import align
+
+    rng = np.random.default_rng(5)
+    t_real, nf = 20, 37
+    w_real = rng.standard_normal((4, t_real, 64)).astype(np.float32)
+    # padding rows filled with huge garbage: must not leak into the output
+    w_pad = np.full((4, 32, 64), 1e6, np.float32)
+    w_pad[:, :t_real] = w_real
+
+    out = np.asarray(align._alignment_matrix(
+        jnp.asarray(w_pad), jnp.float32(1.0), 7, nf, t_real
+    ))
+    assert out.shape == (t_real, nf)
+    assert np.isfinite(out).all()
+
+    # numpy re-derivation of the reference pipeline
+    ww = w_real[:, :, :nf]
+    e = np.exp(ww - ww.max(-1, keepdims=True))
+    sm = e / e.sum(-1, keepdims=True)
+    z = (sm - sm.mean(-2, keepdims=True)) / sm.std(-2, keepdims=True)
+    filt = np.asarray(align.median_filter(jnp.asarray(z), 7))
+    np.testing.assert_allclose(out, filt.mean(0), atol=1e-5, rtol=1e-5)
+
+
+def test_alignment_matrix_short_window_skips_median_filter():
+    """Windows no wider than half the filter pass through unfiltered, like
+    the reference's guard (timing.py:22-24), instead of reflect-padding a
+    sliver; nf == 0 windows return no timings at all (find_alignment)."""
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu import align
+
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((2, 8, 16)).astype(np.float32)
+    out = np.asarray(align._alignment_matrix(
+        jnp.asarray(w), jnp.float32(1.0), 7, 3, 8
+    ))
+    ww = w[:, :, :3]
+    e = np.exp(ww - ww.max(-1, keepdims=True))
+    sm = e / e.sum(-1, keepdims=True)
+    z = (sm - sm.mean(-2, keepdims=True)) / sm.std(-2, keepdims=True)
+    np.testing.assert_allclose(out, z.mean(0), atol=1e-5, rtol=1e-5)
+
+
+def test_find_alignment_sliver_window_returns_empty(tiny_pair):
+    """num_frames < 2 leaves zero output frames to align against: return no
+    word timings (the reference raises on this edge) instead of crashing
+    inside the jitted pipeline."""
+    from qasr_ijcnlp_tpu.align import find_alignment
+    from qasr_ijcnlp_tpu.tokenizer import get_tokenizer
+
+    _, jmodel = tiny_pair
+    tok = get_tokenizer(True, num_languages=99, language="en",
+                        task="transcribe")
+    out = find_alignment(
+        jmodel, tok, tok.encode(" hi"),
+        np.zeros((80, 3000), np.float32), num_frames=1,
+    )
+    assert out == []
