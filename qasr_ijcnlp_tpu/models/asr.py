@@ -28,17 +28,18 @@ Params = Dict[str, Any]
 MAX_CHAR_POSITIONS = 1000  # reference pos_encoding buffer (librispeech_asr.py:157)
 
 
+# One torch-Linear init/apply convention for the whole package: reuse the
+# core model's helpers instead of a drifting local copy.
+from .whisper import _init_linear as _linear_init_wb
+from .whisper import linear as _linear_apply
+
+
 def _linear_init(key, d_in, d_out):
-    k1, k2 = jax.random.split(key)
-    bound = 1.0 / math.sqrt(d_in)
-    return {
-        "w": jax.random.uniform(k1, (d_in, d_out), jnp.float32, -bound, bound),
-        "b": jax.random.uniform(k2, (d_out,), jnp.float32, -bound, bound),
-    }
+    return _linear_init_wb(key, d_in, d_out)
 
 
 def _apply_linear(p, x):
-    return x @ p["w"] + p["b"]
+    return _linear_apply(x, p)
 
 
 # ---------------------------------------------------------------------------

@@ -8,20 +8,17 @@ encoder frames then a single Linear to ``num_classes`` logits.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
+
+from .whisper import _init_linear
 
 
 def init_classifier_head(key, enc_dim: int, num_classes: int) -> Dict[str, Any]:
-    k1, k2 = jax.random.split(key)
-    bound = 1.0 / math.sqrt(enc_dim)
-    return {
-        "w": jax.random.uniform(k1, (enc_dim, num_classes), jnp.float32, -bound, bound),
-        "b": jax.random.uniform(k2, (num_classes,), jnp.float32, -bound, bound),
-    }
+    # same torch-Linear U(-1/sqrt(in)) convention (and key-split order) as
+    # the core model, via the shared helper
+    return _init_linear(key, enc_dim, num_classes)
 
 
 def classifier_apply(head, audio_emb: jnp.ndarray) -> jnp.ndarray:

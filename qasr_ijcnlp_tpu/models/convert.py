@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dims import ModelDimensions
-from .whisper import sinusoids
+from .whisper import _stack_blocks as _stack, sinusoids
 
 
 def _t2np(t) -> np.ndarray:
@@ -65,12 +65,6 @@ def _block_in(sd, prefix, cross: bool) -> Dict[str, Any]:
         block["cross_attn"] = _attn_in(sd, f"{prefix}.cross_attn")
         block["cross_attn_ln"] = _ln_in(sd, f"{prefix}.cross_attn_ln")
     return block
-
-
-def _stack(blocks):
-    import jax
-
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
 def from_torch_state_dict(

@@ -61,16 +61,20 @@ def dims_for(name: str) -> ModelDimensions:
     """Dimensions for an official model name like 'tiny', 'base.en', 'large'."""
     multilingual = not name.endswith(".en")
     base = name.split(".")[0]
-    if base.startswith("large"):
-        base = "large"
-    if base == "turbo":
+    # turbo first: 'large-v3-turbo' must not collapse to plain 'large'
+    # (turbo = large-v3 encoder + a 4-layer decoder, registry.py:40-41)
+    if base == "turbo" or base.endswith("turbo"):
         return ModelDimensions(
             n_mels=128, n_audio_ctx=1500, n_audio_state=1280, n_audio_head=20,
             n_audio_layer=32, n_vocab=51866, n_text_ctx=448, n_text_state=1280,
             n_text_head=20, n_text_layer=4,
         )
+    if base.startswith("large"):
+        base = "large"
     cfg = _FAMILY[base]
-    n_mels = 128 if base == "large" and name in ("large-v3",) else 80
+    # the bare 'large' alias resolves to the large-v3 checkpoint
+    # (registry.py:39), which moved to 128 mel bins and vocab 51866
+    n_mels = 128 if name in ("large-v3", "large") else 80
     n_vocab = 51866 if n_mels == 128 else (51865 if multilingual else 51864)
     return ModelDimensions(
         n_mels=n_mels,

@@ -210,12 +210,23 @@ def moe_trunk(params: Params, x, dims: ModelDimensions, moe: MoEConfig,
     """
     n_head = dims.n_audio_head
     T = t_real if t_real is not None else x.shape[1]
+    # Padding rows (>= t_real) are masked out of attention AND routing:
+    # unrouted garbage rows would otherwise consume per-expert capacity
+    # (evicting real tokens to residual-only) and skew the load-balance aux.
+    valid = (
+        None
+        if x.shape[1] == T
+        else jnp.broadcast_to(
+            jnp.arange(x.shape[1]) < T, (x.shape[0], x.shape[1])
+        )
+    )
 
     def layer(xc, bp):
         xc = xc + w._self_attn(
             bp["attn"], w.layer_norm(xc, bp["attn_ln"]), n_head, t_real=T
         )
-        y, aux = moe_mlp(bp["mlp"], w.layer_norm(xc, bp["mlp_ln"]), moe)
+        y, aux = moe_mlp(bp["mlp"], w.layer_norm(xc, bp["mlp_ln"]), moe,
+                         valid=valid)
         return xc + y, aux
 
     x, auxes = jax.lax.scan(w._maybe_remat(layer), x, params["blocks"])

@@ -39,13 +39,15 @@ def init_quantum_conv(
     in_channels: int,
     out_channels: int,
     kernel_size: int,
-    stride: int = 1,
-    padding: int = 0,
     n_qubits: int = 4,
 ) -> Dict[str, Any]:
     """Parameter pytree for one QuantumConv1d layer.
 
-    Linear layouts are (in, out); ``meta`` holds the static geometry.
+    Linear layouts are (in, out).  Stride/padding are NOT part of the
+    params: they are architectural constants of the two Whisper stem convs
+    (conv1: stride 1, pad 1; conv2: stride 2, pad 1 - reference
+    quantum_whisper.py:130-144) and are passed to :func:`quantum_conv1d`
+    at apply time.
     """
     nq = quantum_conv_spec(in_channels, kernel_size, n_qubits)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
@@ -141,10 +143,10 @@ class QuantumWhisperModel(WhisperModel):
         )
 
     def forward(self, mel, tokens):
-        xa = self.embed_audio(mel)
-        return cmodel.decoder_apply(
-            self.params["decoder"], tokens, xa, self.dims, self._dtype
-        )
+        # jitted quantum encoder + the base class's cached jitted decoder
+        # (an eager decoder_apply here would dispatch the whole scan
+        # op-by-op on every call)
+        return self.logits(tokens, self.embed_audio(mel))
 
     __call__ = forward
 
@@ -156,10 +158,10 @@ def init_quantum_params(key, dims: ModelDimensions, n_qubits: int = 4) -> Dict:
     enc = dict(base["encoder"])
     del enc["conv1"], enc["conv2"]
     enc["qconv1"] = init_quantum_conv(
-        kq1, dims.n_mels, dims.n_audio_state, 3, 1, 1, n_qubits
+        kq1, dims.n_mels, dims.n_audio_state, 3, n_qubits=n_qubits
     )
     enc["qconv2"] = init_quantum_conv(
-        kq2, dims.n_audio_state, dims.n_audio_state, 3, 2, 1, n_qubits
+        kq2, dims.n_audio_state, dims.n_audio_state, 3, n_qubits=n_qubits
     )
     return {"encoder": enc, "decoder": base["decoder"]}
 

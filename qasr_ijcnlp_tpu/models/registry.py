@@ -180,25 +180,36 @@ def available_models() -> List[str]:
     return list(_MODELS.keys())
 
 
+def _file_sha256(path: str) -> str:
+    # stream in 1 MB chunks: a large-v3 checkpoint is ~3 GB and must not be
+    # slurped into one bytes object just to hash it
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(1 << 20)
+            if not buf:
+                break
+            h.update(buf)
+    return h.hexdigest()
+
+
 def _download(url: str, root: str) -> str:
     os.makedirs(root, exist_ok=True)
     expected_sha256 = url.split("/")[-2]
     target = os.path.join(root, os.path.basename(url))
     if os.path.isfile(target):
-        with open(target, "rb") as f:
-            if hashlib.sha256(f.read()).hexdigest() == expected_sha256:
-                return target
+        if _file_sha256(target) == expected_sha256:
+            return target
     with urllib.request.urlopen(url) as src, open(target, "wb") as out:
         while True:
             buf = src.read(1 << 20)
             if not buf:
                 break
             out.write(buf)
-    with open(target, "rb") as f:
-        if hashlib.sha256(f.read()).hexdigest() != expected_sha256:
-            raise RuntimeError(
-                "Model downloaded but the SHA256 checksum does not match."
-            )
+    if _file_sha256(target) != expected_sha256:
+        raise RuntimeError(
+            "Model downloaded but the SHA256 checksum does not match."
+        )
     return target
 
 

@@ -238,7 +238,14 @@ def attention(
     kh = _split_heads(k, n_head) * scale
     vh = _split_heads(v, n_head)
 
-    if mask is None and qh.shape[2] >= 512 and _flash_enabled():
+    if (
+        mask is None
+        and qh.shape[2] >= 512
+        and _flash_enabled()
+        # the 4D kernel has no key-validity input: only safe when every
+        # key row is real
+        and (t_real is None or t_real == k.shape[1])
+    ):
         from ..ops.flash import flash_attention
 
         out = flash_attention(qh, kh, vh)
@@ -247,6 +254,12 @@ def attention(
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32)
     if mask is not None:
         logits = logits + mask
+    if t_real is not None and t_real != k.shape[1]:
+        # honor t_real on the XLA path too: padded key rows (tile-aligned
+        # inputs) must never receive attention weight
+        logits = jnp.where(
+            jnp.arange(k.shape[1]) < t_real, logits, -jnp.inf
+        )
     w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
     return _merge_heads(out)

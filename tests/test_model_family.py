@@ -19,9 +19,13 @@ from qasr_ijcnlp_tpu.models.dims import dims_for
         ("base", 6, 512, 8, 80, 51865),
         ("small", 12, 768, 12, 80, 51865),
         ("medium", 24, 1024, 16, 80, 51865),
+        ("large-v1", 32, 1280, 20, 80, 51865),
         ("large-v2", 32, 1280, 20, 80, 51865),
         ("large-v3", 32, 1280, 20, 128, 51866),
+        # the bare alias resolves to the large-v3 checkpoint (registry)
+        ("large", 32, 1280, 20, 128, 51866),
         ("turbo", 32, 1280, 20, 128, 51866),
+        ("large-v3-turbo", 32, 1280, 20, 128, 51866),
     ],
 )
 def test_dims_table(name, layers, width, heads, mels, vocab):
@@ -31,8 +35,10 @@ def test_dims_table(name, layers, width, heads, mels, vocab):
     assert d.n_audio_head == heads
     assert d.n_mels == mels
     assert d.n_vocab == vocab
-    if name == "turbo":
+    if "turbo" in name:
         assert d.n_text_layer == 4  # distilled decoder
+    else:
+        assert d.n_text_layer == layers
 
 
 def test_base_forward_and_tp_sharding():

@@ -162,3 +162,30 @@ def test_bf16_forward_close_to_fp32(jax_params):
     bf16 = jmodel.forward(jax_params, mel, tokens, SMALL, jnp.bfloat16)
     # Logit-scale agreement; argmax should rarely differ on random nets.
     assert np.abs(np.asarray(f32) - np.asarray(bf16)).mean() < 0.2
+
+
+def test_attention_xla_path_masks_padded_keys():
+    """attention(t_real=T) on tile-padded q/k/v must ignore the padding key
+    rows on the XLA fallback path too (it used to mask only inside the
+    Pallas kernels, silently attending garbage keys when kernels were
+    off)."""
+    import jax.numpy as jnp
+
+    from qasr_ijcnlp_tpu.models import whisper as m
+
+    rng = np.random.default_rng(21)
+    B, T, Tp, D, H = 2, 20, 32, 16, 2
+    q = rng.standard_normal((B, T, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, D)).astype(np.float32)
+    qp = np.zeros((B, Tp, D), np.float32); qp[:, :T] = q
+    kp = np.zeros((B, Tp, D), np.float32); kp[:, :T] = k
+    vp = np.zeros((B, Tp, D), np.float32); vp[:, :T] = v
+
+    base = np.asarray(m.attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), H
+    ))
+    padded = np.asarray(m.attention(
+        jnp.asarray(qp), jnp.asarray(kp), jnp.asarray(vp), H, t_real=T
+    ))[:, :T]
+    np.testing.assert_allclose(padded, base, atol=1e-6, rtol=1e-6)

@@ -190,3 +190,27 @@ def test_param_specs_shard_experts(setup):
     fc = specs["encoder"]["blocks"]["mlp"]["experts"]["fc"]["w"]
     assert fc == parallel.P(None, parallel.MODEL_AXIS, None, None)
     assert specs["encoder"]["blocks"]["mlp"]["router"]["w"] == parallel.P()
+
+
+def test_moe_trunk_padded_input_matches_unpadded(setup):
+    """Tile-padded input (t_real < x.shape[1]): padding rows must not
+    consume expert capacity or skew aux — the real region's output and the
+    load-balance loss must match the unpadded run exactly (masked rows
+    contribute zeros to the routing cumsum, so real tokens keep their
+    slots)."""
+    dims, moe, params = setup
+    rng = np.random.default_rng(9)
+    T, Tp = 24, 32
+    x = 0.3 * rng.standard_normal((2, T, dims.n_audio_state)).astype(
+        np.float32
+    )
+    xp = np.zeros((2, Tp, dims.n_audio_state), np.float32)
+    xp[:, :T] = x
+
+    out, aux = moe_mod.moe_trunk(params["encoder"], jnp.asarray(x), dims,
+                                 moe)
+    out_p, aux_p = moe_mod.moe_trunk(params["encoder"], jnp.asarray(xp),
+                                     dims, moe, t_real=T)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(float(aux_p), float(aux), rtol=1e-5)

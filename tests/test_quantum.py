@@ -95,7 +95,7 @@ def test_quantum_conv1d_matches_loop_reference(rng):
     from qasr_ijcnlp_tpu.models import quantum as qm
 
     key = jax.random.PRNGKey(3)
-    p = qm.init_quantum_conv(key, 8, 16, 3, stride=2, padding=1, n_qubits=4)
+    p = qm.init_quantum_conv(key, 8, 16, 3, n_qubits=4)
     x = rng.standard_normal((2, 8, 20)).astype(np.float32)
     ours = np.asarray(qm.quantum_conv1d(p, jnp.asarray(x), 3, 2, 1))
     ref = oracle.quantum_conv1d_reference(
@@ -171,7 +171,7 @@ def test_closed_form_speedup_vs_naive():
     from qasr_ijcnlp_tpu.models import quantum as qm
 
     key = jax.random.PRNGKey(5)
-    p = qm.init_quantum_conv(key, 8, 16, 3, stride=1, padding=1, n_qubits=4)
+    p = qm.init_quantum_conv(key, 8, 16, 3, n_qubits=4)
     x = np.random.default_rng(0).standard_normal((4, 8, 64)).astype(np.float32)
 
     fast = jax.jit(lambda p, x: qm.quantum_conv1d(p, x, 3, 1, 1))
