@@ -35,8 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from . import round_up as _round_up  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("heads",))

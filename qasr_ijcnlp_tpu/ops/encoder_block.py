@@ -51,11 +51,30 @@ BQ = 128   # query-tile rows inside the attention kernel
 MT = 512   # row tile of the finish (out-proj + MLP) kernel
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from . import round_up as _round_up  # noqa: E402
 
 
-def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
+def _pick_bq(d_model: int, t_pad: int) -> int:
+    """Query-tile rows for the attention kernel.  Bigger tiles amortize
+    per-iteration overhead (measured 62.5 -> 55.1 ms/block at B=512 tiny);
+    the f32 logits tile plus block buffers approach VMEM as D grows, so
+    base/small run 256 rows and medium+ 128.  Shared by the fused block and
+    the head-sharded TP attention so a retune can't leave the two entry
+    points on different tile sizes."""
+    if d_model <= 384 and t_pad % 512 == 0:
+        return 512
+    if d_model <= 768 and t_pad % 256 == 0:
+        return 256
+    return BQ
+
+
+def fused_block_applicable(
+    n_head: int, d_model: int, t_pad: int, mlp_width: Optional[int] = None
+) -> bool:
+    # The Whisper family's MLP is always 4*D; a caller with custom dims must
+    # pass the real fc width or the F-tiled finish kernel asserts at trace
+    # time instead of falling back.
+    F = 4 * d_model if mlp_width is None else mlp_width
     return (
         # tiny/base use the resident-MLP finish kernel; small/medium
         # (768/1024) the F-tiled one with chunked LN; large (1280) the
@@ -63,7 +82,7 @@ def fused_block_applicable(n_head: int, d_model: int, t_pad: int) -> bool:
         # set fits VMEM.  Whole family covered.
         d_model <= 1280
         # the F-tiled finish (D > 512) streams FT-wide MLP column blocks
-        and (d_model <= 512 or (4 * d_model) % _finish_tiles(d_model)[1] == 0)
+        and (d_model <= 512 or F % _finish_tiles(d_model)[1] == 0)
         and t_pad % MT == 0
         and attn_applicable(n_head, d_model, t_pad)
     )
@@ -475,17 +494,8 @@ def fused_encoder_block(x, bp, n_head: int, t_real: int):
     compute garbage the caller slices away.
     """
     D, Tp = x.shape[-1], x.shape[1]
-    # Bigger query tiles amortize per-iteration overhead (measured 62.5 ->
-    # 55.1 ms/block at B=512 tiny); the f32 logits tile plus block buffers
-    # approach VMEM as D grows, so base/small run 256 rows and medium 128.
-    if D <= 384 and Tp % 512 == 0:
-        bq = 512
-    elif D <= 768 and Tp % 256 == 0:
-        bq = 256
-    else:
-        bq = BQ
     return _partitioned_block(
-        x, bp, n_head, t_real, jax.default_backend() != "tpu", bq
+        x, bp, n_head, t_real, jax.default_backend() != "tpu", _pick_bq(D, Tp)
     )
 
 
@@ -589,14 +599,9 @@ def fused_attention_ln(x, lnp, ap, n_head: int, t_real: int):
     forward path.
     """
     Tp, D = x.shape[1], x.shape[-1]
-    if D <= 384 and Tp % 512 == 0:
-        bq = 512
-    elif D <= 768 and Tp % 256 == 0:
-        bq = 256
-    else:
-        bq = BQ
     return _attn_ln_impl(
-        x, lnp, ap, n_head, t_real, jax.default_backend() != "tpu", bq
+        x, lnp, ap, n_head, t_real, jax.default_backend() != "tpu",
+        _pick_bq(D, Tp),
     )
 
 

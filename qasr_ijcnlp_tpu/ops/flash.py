@@ -24,8 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 128  # query tile (sublane-aligned)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from . import round_up as _round_up  # noqa: E402
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):

@@ -61,8 +61,7 @@ def _mel_kernel(frames_ref, win_ref, cos_ref, sin_ref, mel_ref, out_ref):
     out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from . import round_up as _round_up  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))

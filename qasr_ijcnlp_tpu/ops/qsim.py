@@ -123,15 +123,19 @@ def quantum_expvals(
     Returns (..., n_qubits) float32.
 
     The reference would raise on an all-zero window (PennyLane refuses to
-    normalize a zero vector); we guard the norm with ``eps`` so a silent
-    window yields <Z_i> from the |0...0> state, keeping training stable.
+    normalize a zero vector); we guard the squared norm with ``eps**2``
+    INSIDE the sqrt so a silent window yields all-zero expvals with finite
+    gradients.  (Clamping after the sqrt would not help: sqrt's VJP at 0 is
+    already NaN, upstream of any maximum.)
     """
     m = inputs.shape[-1]
     dim = 1 << n_qubits
     assert m <= dim, f"amplitude input length {m} exceeds 2^{n_qubits}"
 
-    norm = jnp.sqrt(jnp.sum(inputs * inputs, axis=-1, keepdims=True))
-    psi = inputs / jnp.maximum(norm, eps)  # (..., m)
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(inputs * inputs, axis=-1, keepdims=True), eps * eps)
+    )
+    psi = inputs / norm  # (..., m)
 
     u_re, u_im = circuit_unitary(weights, n_qubits)  # (dim, dim)
     # Only the first m columns of U touch nonzero amplitudes.

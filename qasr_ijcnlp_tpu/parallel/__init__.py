@@ -171,10 +171,22 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device_put array(s) with the leading dim sharded along data."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, batch_spec(x.ndim))), batch
-    )
+    """Shard array(s) with the leading dim along data.
+
+    Single-process: a plain ``device_put`` (the host array IS the global
+    batch).  Multi-process: each host holds a DISTINCT local shard (the
+    DataLoader strides by ``process_index``), so the global array must be
+    assembled with ``make_array_from_process_local_data`` — ``device_put``
+    would treat every host's different batch as the same global array and
+    silently keep only 1/P of each host's rows."""
+
+    def put(x):
+        sharding = NamedSharding(mesh, batch_spec(x.ndim))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
 
 
 def named_sharding_tree(params, mesh: Mesh):

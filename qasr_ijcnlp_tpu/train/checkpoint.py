@@ -26,40 +26,65 @@ def _np_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _leaf_dtype(leaf):
+    """dtype of a template leaf WITHOUT materializing it to host — a sharded
+    jax.Array exposes .dtype directly; np.asarray would gather the whole
+    (possibly multi-GB) buffer device→host just to read the same field."""
+    dt = getattr(leaf, "dtype", None)
+    return dt if dt is not None else np.asarray(leaf).dtype
+
+
 def save_pytree(path: str, tree: Any, metadata: Optional[dict] = None) -> None:
-    """Save a pytree checkpoint (orbax if available, npz fallback)."""
+    """Save a pytree checkpoint (orbax if available, pickle fallback)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path), _np_tree(tree), force=True)
-    except Exception:
+    except Exception as e:
         import pickle
+        import warnings
 
         with open(path + ".pkl", "wb") as f:
             pickle.dump(_np_tree(tree), f)
+        warnings.warn(
+            f"orbax save of {path} failed ({type(e).__name__}: {e}); "
+            f"wrote pickle fallback {path}.pkl instead"
+        )
     if metadata is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(metadata, f, indent=2, default=str)
 
 
-def load_pytree(path: str, target: Optional[Any] = None) -> Any:
-    try:
-        import orbax.checkpoint as ocp
+def _newest_format(path: str) -> str:
+    """'orbax' | 'pkl' — whichever copy of the checkpoint is newer, so a
+    pickle written by save_pytree's fallback is never shadowed by a stale
+    orbax directory from an earlier epoch (and vice versa)."""
+    has_dir = os.path.isdir(path)
+    pkl = path + ".pkl"
+    has_pkl = os.path.exists(pkl)
+    if has_dir and has_pkl:
+        return "orbax" if os.path.getmtime(path) >= os.path.getmtime(pkl) else "pkl"
+    return "pkl" if has_pkl else "orbax"
 
-        ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(os.path.abspath(path))
-    except Exception:
+
+def load_pytree(path: str, target: Optional[Any] = None) -> Any:
+    if _newest_format(path) == "pkl":
         import pickle
 
         with open(path + ".pkl", "rb") as f:
             restored = pickle.load(f)
+    else:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
     if target is not None:
         import jax
 
         restored = jax.tree.map(
-            lambda t, r: np.asarray(r).astype(np.asarray(t).dtype), target, restored
+            lambda t, r: np.asarray(r).astype(_leaf_dtype(t)), target, restored
         )
     return restored
 
@@ -79,6 +104,21 @@ class BestTracker:
     directory: str
     metrics: Dict[str, str]  # name -> "min" | "max"
     best: Dict[str, float] = field(default_factory=dict)
+
+    def seed_from_disk(self) -> Dict[str, float]:
+        """Re-seed ``best`` from existing ``best_<metric>.meta.json`` files.
+
+        Called on resume so the first post-resume validation competes
+        against the pre-interrupt best instead of overwriting
+        ``best_<metric>`` with whatever value it happens to produce."""
+        for name in self.metrics:
+            meta = load_metadata(os.path.join(self.directory, f"best_{name}"))
+            if meta is not None and "value" in meta:
+                try:
+                    self.best[name] = float(meta["value"])
+                except (TypeError, ValueError):
+                    pass
+        return dict(self.best)
 
     def update(self, values: Dict[str, float], tree: Any,
                metadata: Optional[dict] = None) -> Dict[str, bool]:
@@ -170,7 +210,7 @@ def restore_train_state(path: str, template, mesh=None):
     leaves = jax.tree.leaves(template)
     restored = load_pytree(path)
     new = [
-        np.asarray(restored[f"{i:05d}"]).astype(np.asarray(t).dtype)
+        np.asarray(restored[f"{i:05d}"]).astype(_leaf_dtype(t))
         for i, t in enumerate(leaves)
     ]
     state = jax.tree.unflatten(jax.tree.structure(template), new)

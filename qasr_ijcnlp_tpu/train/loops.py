@@ -81,14 +81,44 @@ def char_asr_loss_fn(encoder_apply: Callable, head_kind: str) -> Callable:
     return loss
 
 
-def _cached_jit(cache: dict, key, builder):
+def _cached_jit(cache, key, builder):
     fn = cache.get(key)
     if fn is None:
         fn = cache[key] = jax.jit(builder())
+        # Bounded LRU: keys capture encoder closures, so an unbounded cache
+        # would pin compiled executables for every model ever evaluated in
+        # the process.
+        while len(cache) > _EVAL_JITS_MAX:
+            cache.popitem(last=False)
+    else:
+        cache.move_to_end(key)
     return fn
 
 
-_EVAL_JITS: Dict = {}
+from collections import OrderedDict  # noqa: E402
+
+_EVAL_JITS: "OrderedDict" = OrderedDict()
+_EVAL_JITS_MAX = 32
+
+
+def _epoch_stats(step_metrics) -> Dict[str, float]:
+    """Aggregate per-step metric dicts (device scalars) in ONE host transfer
+    per epoch — appending ``float(m['loss'])`` per step would block dispatch
+    on every iteration and starve the prefetch pipeline.
+
+    Batches skipped by the non-finite guard keep their inf/NaN loss out of
+    the epoch mean and are surfaced as ``skipped`` so the guard is visible.
+    """
+    if not step_metrics:
+        return {"train_loss": 0.0, "skipped": 0}
+    losses = np.asarray(jax.device_get([m["loss"] for m in step_metrics]),
+                        dtype=np.float64)
+    skipped = int(np.sum(jax.device_get([m["skipped"] for m in step_metrics])))
+    finite = losses[np.isfinite(losses)]
+    return {
+        "train_loss": float(finite.mean()) if finite.size else 0.0,
+        "skipped": skipped,
+    }
 
 
 def evaluate_char_asr(
@@ -124,22 +154,29 @@ def evaluate_char_asr(
         (mel, char_ids), real = pad_batch_to(batch, loader.batch_size,
                                              (None, PAD))
         losses.append(float(jloss(params, mel, char_ids)))
-        enc = embed(params, mel)
         if head_kind == "lstm":
             out, _ = asr_model.lstm_greedy_decode(
-                params["head"], enc, START, END, max_len
+                params["head"], embed(params, mel), START, END, max_len
             )
             out = np.asarray(out)
         elif real_decode:
             out, _ = asr_model.mlp_greedy_decode(
-                params["head"], enc, START, END, max_len
+                params["head"], embed(params, mel), START, END, max_len
             )
             out = np.asarray(out)
         else:
             # Teacher-forced argmax — the reference's optimistic validation
             # quirk, kept as the default for parity (real_decode opts out).
-            logits = asr_model.mlp_head_char_logits(params["head"], enc, char_ids)
-            out = np.asarray(jnp.argmax(logits, axis=-1))
+            tf_argmax = _cached_jit(
+                _EVAL_JITS, ("tf_argmax", encoder_apply),
+                lambda: (lambda p, m_, ids: jnp.argmax(
+                    asr_model.mlp_head_char_logits(
+                        p["head"], encoder_apply(p["encoder"], m_), ids
+                    ),
+                    axis=-1,
+                )),
+            )
+            out = np.asarray(tf_argmax(params, mel, char_ids))
         for b in range(real):
             preds.append(vocab.decode(out[b]))
             refs.append(vocab.decode(np.asarray(char_ids[b][1:])))
@@ -193,6 +230,8 @@ def train_char_asr(
                    donate_argnums=(0,))
 
     tracker = BestTracker(checkpoint_dir, {"cer": "min", "wer": "min"})
+    if resume_from:
+        tracker.seed_from_disk()
     history = TrainingHistory(history_path)
     history.config = {
         "head": head_kind, "epochs": epochs, "lr": learning_rate,
@@ -201,15 +240,15 @@ def train_char_asr(
 
     for epoch in range(epochs):
         t0 = time.time()
-        train_losses = []
+        step_metrics = []
         for batch in prefetch_to_device(iter(train_loader)):
             (mel, char_ids), _ = pad_batch_to(batch, train_loader.batch_size,
                                               (None, PAD))
             state, m = step(state, mel, char_ids)
-            train_losses.append(float(m["loss"]))
+            step_metrics.append(m)
         entry = {
             "epoch": epoch,
-            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            **_epoch_stats(step_metrics),
             "time_s": time.time() - t0,
         }
         if val_loader is not None:
@@ -329,15 +368,15 @@ def train_classifier(
 
     for epoch in range(epochs):
         t0 = time.time()
-        train_losses = []
+        step_metrics = []
         for batch in prefetch_to_device(iter(train_loader)):
             (mel, labels), _ = pad_batch_to(batch, train_loader.batch_size,
                                             (None, -1))
             state, m = step(state, mel, labels)
-            train_losses.append(float(m["loss"]))
+            step_metrics.append(m)
         entry = {
             "epoch": epoch,
-            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            **_epoch_stats(step_metrics),
             "time_s": time.time() - t0,
         }
         if val_loader is not None:
@@ -445,23 +484,31 @@ def train_token_asr(
 
     @jax.jit
     def tf_logits(params, mel, tokens):
-        return cmodel.forward(params, mel, jnp.maximum(tokens, 0), dims)
+        # Same dtype + mesh routing as the train/val loss — a separate fp32
+        # no-mesh forward would compile (and hold) a second full program and
+        # score WER under different numerics than the loss beside it.
+        return cmodel.forward(
+            params, mel, jnp.maximum(tokens, 0), dims,
+            jnp.dtype(compute_dtype), mesh=mesh,
+        )
 
     tracker = BestTracker(checkpoint_dir, {"wer": "min"})
+    if resume_state:
+        tracker.seed_from_disk()
     history = TrainingHistory(history_path)
     history.config = {"epochs": epochs, "lr": learning_rate, "warmup": warmup_steps}
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        train_losses = []
+        step_metrics = []
         for batch in prefetch_to_device(iter(train_loader)):
             (mel, tokens), _ = pad_batch_to(batch, train_loader.batch_size,
                                             (None, -100))
             state, m = step(state, mel, tokens)
-            train_losses.append(float(m["loss"]))
+            step_metrics.append(m)
         entry = {
             "epoch": epoch,
-            "train_loss": float(np.mean(train_losses)) if train_losses else 0.0,
+            **_epoch_stats(step_metrics),
             "time_s": time.time() - t0,
         }
         if val_loader is not None:

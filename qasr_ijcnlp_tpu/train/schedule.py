@@ -20,6 +20,13 @@ def warmup_cosine(
     total_steps: int,
     min_ratio: float = 0.1,
 ) -> optax.Schedule:
+    if warmup_steps <= 0:
+        # No warmup requested: start at peak immediately instead of a
+        # one-step zero-LR prefix (linear_schedule(0, peak, 1) yields 0.0
+        # at step 0, wasting the first batch).
+        return optax.cosine_decay_schedule(
+            peak_lr, max(total_steps, 1), alpha=min_ratio
+        )
     return optax.join_schedules(
         [
             optax.linear_schedule(0.0, peak_lr, max(warmup_steps, 1)),

@@ -143,3 +143,53 @@ def test_sharded_train_state_resume_parity(tmp_path):
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         resumed.params, state.params,
     )
+
+
+def test_best_tracker_seed_from_disk(tmp_path):
+    """A resumed run must compete against the pre-interrupt best instead of
+    overwriting best_<metric> with its first (possibly worse) validation."""
+    from qasr_ijcnlp_tpu.train.checkpoint import BestTracker, load_pytree
+
+    first = BestTracker(str(tmp_path), {"wer": "min"})
+    first.update({"wer": 0.20}, {"w": np.full(2, 5.0)}, {"epoch": 5})
+
+    resumed = BestTracker(str(tmp_path), {"wer": "min"})
+    seeded = resumed.seed_from_disk()
+    assert seeded == {"wer": 0.20}
+    # Worse value after resume: no overwrite.
+    t = resumed.update({"wer": 0.35}, {"w": np.zeros(2)}, {"epoch": 7})
+    assert t == {"wer": False}
+    best = load_pytree(str(tmp_path / "best_wer"), target={"w": np.ones(2)})
+    np.testing.assert_array_equal(np.asarray(best["w"]), np.full(2, 5.0))
+    # Better value: normal save resumes.
+    t = resumed.update({"wer": 0.10}, {"w": np.full(2, 7.0)}, {"epoch": 8})
+    assert t == {"wer": True}
+
+
+def test_load_pytree_prefers_newer_pickle(tmp_path):
+    """If a later save fell back to pickle, load must not silently restore
+    the stale orbax directory from an earlier epoch."""
+    import os
+    import pickle
+    import time
+
+    from qasr_ijcnlp_tpu.train.checkpoint import load_pytree, save_pytree
+
+    path = str(tmp_path / "best")
+    save_pytree(path, {"w": np.zeros(3)})  # orbax dir (epoch 3)
+    time.sleep(0.05)
+    with open(path + ".pkl", "wb") as f:  # newer fallback (epoch 7)
+        pickle.dump({"w": np.full(3, 7.0)}, f)
+    os.utime(path + ".pkl")
+    restored = load_pytree(path, target={"w": np.ones(3)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.full(3, 7.0))
+
+
+def test_warmup_cosine_zero_warmup_starts_at_peak():
+    from qasr_ijcnlp_tpu.train.schedule import warmup_cosine
+
+    sched = warmup_cosine(1e-3, 0, 100)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    sched_w = warmup_cosine(1e-3, 10, 100)
+    assert float(sched_w(0)) == pytest.approx(0.0)
+    assert float(sched_w(10)) == pytest.approx(1e-3)

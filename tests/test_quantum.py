@@ -250,3 +250,21 @@ def test_qsim_analytic_golden_phases():
         qsim.quantum_expvals(jnp.asarray([[1.0, 1.0]]), weights, 2)
     )[0]
     np.testing.assert_allclose(got, [1.0, 0.0], atol=1e-6)
+
+
+def test_zero_input_window_finite_gradients():
+    """An exactly-zero window (silent audio) must produce finite expvals AND
+    finite gradients: sqrt's VJP at 0 is NaN, so the norm guard has to clamp
+    INSIDE the sqrt (regression for the eps-after-sqrt bug)."""
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(3, 3)), jnp.float32)
+    x = jnp.zeros((2, 3), jnp.float32)
+
+    out = qsim.quantum_expvals(x, w, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    def loss(x, w):
+        return jnp.sum(qsim.quantum_expvals(x, w, 3) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    assert np.all(np.isfinite(np.asarray(gw)))
