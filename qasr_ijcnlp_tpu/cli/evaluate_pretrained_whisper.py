@@ -17,7 +17,7 @@ import numpy as np
 
 from .. import metrics as qmetrics
 from ..audio import log_mel_spectrogram, pad_or_trim
-from ..data import load_librispeech
+from ..data import dataset_texts, load_librispeech
 from ..data.loader import DataLoader, pad_batch_to
 from ..decode import DecodingOptions
 from ..reporting import save_results_json
@@ -69,7 +69,7 @@ def main(argv=None):
     base = load_librispeech(
         _SPLIT_MAP.get(args.split, args.split), args.max_samples
     )
-    texts = [base[i][1] for i in range(len(base))]
+    texts = dataset_texts(base)
     loader = DataLoader(_AudioView(base), args.batch_size, shuffle=False)
 
     mesh = None

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..data import (
     ClassificationView,
+    dataset_texts,
     SPEECH_COMMANDS_LABELS,
     load_librispeech,
     load_speech_commands,
@@ -54,7 +55,7 @@ def main(argv=None):
         # LibriSpeech-as-classification: whole transcript = class label
         # (reference train_quantum_whisper.py:79-129 convention).
         libri = load_librispeech("test", args.max_samples or 32)
-        texts = sorted({libri[i][1] for i in range(len(libri))})
+        texts = sorted(set(dataset_texts(libri)))
         label_of = {t: i for i, t in enumerate(texts)}
 
         class _View:

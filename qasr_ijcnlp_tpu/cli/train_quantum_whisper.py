@@ -15,6 +15,7 @@ import jax
 
 from ..data import (
     ClassificationView,
+    dataset_texts,
     SPEECH_COMMANDS_LABELS,
     load_librispeech,
     load_speech_commands,
@@ -50,7 +51,7 @@ def build_parser():
 def _librispeech_as_classification(split, max_samples):
     """Whole-utterance transcript as the class label (reference :79-129)."""
     base = load_librispeech(split, max_samples)
-    texts = sorted({base[i][1] for i in range(len(base))})
+    texts = sorted(set(dataset_texts(base)))
     label_of = {t: i for i, t in enumerate(texts)}
 
     class _View:

@@ -15,7 +15,7 @@ import argparse
 
 import jax
 
-from ..data import CharVocabulary, CharASRView, load_librispeech
+from ..data import CharVocabulary, CharASRView, dataset_texts, load_librispeech
 from ..data.loader import DataLoader
 from ..models import asr as asr_model
 from ..models.quantum import (
@@ -61,7 +61,7 @@ def main(argv=None):
 
     # Char vocab from the first 1000 training transcripts (:344-353).
     vocab = CharVocabulary.build(
-        [train_base[i][1] for i in range(min(1000, len(train_base)))]
+        dataset_texts(train_base, 1000)
     )
     print(f"Built character vocabulary with {vocab.num_chars} characters")
 

@@ -14,7 +14,7 @@ import argparse
 
 import jax
 
-from ..data import CharVocabulary, CharASRView, load_librispeech
+from ..data import CharVocabulary, CharASRView, dataset_texts, load_librispeech
 from ..data.loader import DataLoader
 from ..models import asr as asr_model
 from ..models.dims import tiny_dims
@@ -51,7 +51,7 @@ def main(argv=None):
     train_base = load_librispeech("train.100", args.max_samples or 64)
     val_base = load_librispeech("validation", (args.max_samples or 64) // 4 or 8)
     vocab = CharVocabulary.build(
-        [train_base[i][1] for i in range(min(1000, len(train_base)))]
+        dataset_texts(train_base, 1000)
     )
     head = asr_model.init_lstm_decoder(
         jax.random.fold_in(key, 1), dims.n_audio_state, vocab.num_chars,

@@ -207,6 +207,7 @@ def load_librispeech(
 
         class _HFLibriSpeech:
             is_synthetic = False
+            _texts = None
 
             def __len__(self):
                 return len(ds)
@@ -217,6 +218,14 @@ def load_librispeech(
                     np.asarray(item["audio"]["array"], np.float32),
                     item["text"],
                 )
+
+            def text(self, i):
+                # Text-only access: a plain ds[i] decodes the FLAC audio
+                # feature just to throw it away — vocab building touches
+                # ~1000 rows, so read the text column once instead.
+                if _HFLibriSpeech._texts is None:
+                    _HFLibriSpeech._texts = ds["text"]
+                return _HFLibriSpeech._texts[i]
 
         return _HFLibriSpeech()
     except Exception as e:  # no network / no cache
@@ -236,6 +245,20 @@ def load_speech_commands(
         ds = datasets.load_dataset(
             "google/speech_commands", "v0.02", split=split, streaming=False
         )
+        # HF's ClassLabel ids are in dataset order ('yes','no','up',...,
+        # '_silence_' = 36 classes); the reference builds its label map from
+        # sorted(all_labels) (train_quantum_whisper.py:565) — the 35-class
+        # alphabetical space SPEECH_COMMANDS_LABELS / the synthetic dataset
+        # use.  Remap by NAME and drop classes outside the 35 (e.g.
+        # '_silence_'), so HF-trained and synthetic-trained models share one
+        # label semantics.
+        target = {name: i for i, name in enumerate(SPEECH_COMMANDS_LABELS)}
+        names = ds.features["label"].names
+        remap = {i: target[n] for i, n in enumerate(names) if n in target}
+        raw_labels = ds["label"]  # column read: no audio decode
+        keep = [i for i, lab in enumerate(raw_labels) if int(lab) in remap]
+        if len(keep) != len(ds):
+            ds = ds.select(keep)
         if max_samples:
             ds = ds.select(range(min(max_samples, len(ds))))
 
@@ -249,7 +272,7 @@ def load_speech_commands(
                 item = ds[i]
                 return (
                     np.asarray(item["audio"]["array"], np.float32),
-                    int(item["label"]),
+                    remap[int(item["label"])],
                 )
 
         return _HFSpeechCommands()
@@ -263,6 +286,16 @@ def load_speech_commands(
 # ---------------------------------------------------------------------------
 # Feature extraction views
 # ---------------------------------------------------------------------------
+
+
+def dataset_texts(base, n: Optional[int] = None) -> List[str]:
+    """Transcripts of the first ``n`` items, via the dataset's text-only
+    accessor when it has one (skips decoding the audio feature — vocab
+    building over 1000 HF rows would otherwise decode 1000 FLAC files)."""
+    n = len(base) if n is None else min(n, len(base))
+    if hasattr(base, "text"):
+        return [base.text(i) for i in range(n)]
+    return [base[i][1] for i in range(n)]
 
 
 def create_dataloader(dataset, batch_size: int = 8, shuffle: bool = True,
@@ -313,8 +346,7 @@ class CharASRView:
         return mel, self.vocab.encode(text, self.max_text_len)
 
     def texts(self, n: Optional[int] = None) -> List[str]:
-        n = len(self.base) if n is None else min(n, len(self.base))
-        return [self.base[i][1] for i in range(n)]
+        return dataset_texts(self.base, n)
 
 
 class TokenASRView:

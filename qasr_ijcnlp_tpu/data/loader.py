@@ -88,11 +88,26 @@ class DataLoader:
 
 def prefetch_to_device(iterator, size: int = 2, device=None):
     """Stage ``size`` batches ahead on a background thread, moving each to
-    the device as soon as it is produced."""
+    the device as soon as it is produced.
+
+    Abandoning the generator early (a train loop that raises or breaks
+    mid-epoch) releases the producer: its puts poll a stop flag, and the
+    generator's ``finally`` sets the flag and drains the queue, so neither
+    the thread nor its staged device buffers outlive the epoch."""
     import jax
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -100,20 +115,29 @@ def prefetch_to_device(iterator, size: int = 2, device=None):
                 staged = jax.tree.map(
                     lambda x: jax.device_put(x, device), batch
                 )
-                q.put(staged)
-            q.put(_END)
+                if not put(staged):
+                    return
+            put(_END)
         except BaseException as exc:  # re-raised in the consumer, not dropped
-            q.put(exc)
+            put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a producer mid-put on a full queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def pad_batch_to(

@@ -79,8 +79,13 @@ class BatchingTranscriber:
             model.shard(self.mesh)
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
+        # Default language matches the long-form route: auto-detect on
+        # multilingual models (language=None), English on *.en models — so
+        # the same clip transcribes the same whether it is 20 s
+        # (micro-batcher) or 40 s (long-form pipeline).
         self.options = options or DecodingOptions(
-            language="en", without_timestamps=True
+            language=None if model.is_multilingual else "en",
+            without_timestamps=True,
         )
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -96,9 +101,6 @@ class BatchingTranscriber:
                 a.astype(jnp.float32) * s[:, None], n_mels
             )
         )
-        # ≥2 workers pipeline the host->device batch upload of one
-        # micro-batch under the device compute of the previous one (the
-        # device serializes programs; uploads are the serial cost).
         self._workers = [
             threading.Thread(target=self._run, daemon=True)
             for _ in range(max(1, workers))
@@ -125,6 +127,8 @@ class BatchingTranscriber:
         ~10 req/s).  The int16 wire format is quantized against the CLIP's
         own peak (scale restored on device), so quiet or >1-amplitude
         inputs keep their full dynamic range (~90 dB SNR per clip)."""
+        if self._stop.is_set():
+            raise RuntimeError("transcriber is closed")
         audio = pad_or_trim(np.asarray(audio, np.float32))
         peak = float(max(np.max(np.abs(audio)), 1e-9))
         item = _Pending(
@@ -132,6 +136,13 @@ class BatchingTranscriber:
             scale=peak / 32767.0,
         )
         self._queue.put(item)
+        if self._stop.is_set() and not item.event.is_set():
+            # close() may already have drained the queue; fail fast instead
+            # of waiting out the full client timeout on an item no worker
+            # will ever pick up.  (If a worker races us to it, the is_set
+            # check above keeps its real answer.)
+            item.error = "server shutting down"
+            item.event.set()
         if not item.event.wait(timeout):
             raise TimeoutError("transcription timed out")
         if item.error:
@@ -192,16 +203,15 @@ class BatchingTranscriber:
             if not batch:
                 continue
             try:
-                audios = np.stack([p.audio for p in batch])
-                scales = np.asarray([p.scale for p in batch], np.float32)
-                if len(batch) < self.batch_size:  # pad to the compiled shape
-                    n_pad = self.batch_size - len(batch)
-                    audios = np.concatenate(
-                        [audios, np.repeat(audios[-1:], n_pad, 0)], axis=0
-                    )
-                    scales = np.concatenate(
-                        [scales, np.repeat(scales[-1:], n_pad)]
-                    )
+                from .data.loader import pad_batch_to
+
+                (audios, scales), _ = pad_batch_to(
+                    (
+                        np.stack([p.audio for p in batch]),
+                        np.asarray([p.scale for p in batch], np.float32),
+                    ),
+                    self.batch_size,  # pad to the compiled shape
+                )
                 # one batched on-device mel; stays on device into decode
                 mels = self._jmel(audios, scales)
                 if self.mesh is not None:
@@ -236,6 +246,27 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
     if n_ch > 1:
         audio = audio.reshape(-1, n_ch).mean(axis=1)
     if rate != 16000:
+        if rate > 16000:
+            # Anti-alias before decimation: bare interpolation folds all
+            # content above 8 kHz back into the band (44.1/48 kHz uploads
+            # are the common case).  Windowed-sinc FIR low-pass at
+            # 0.45 * target Nyquist; scipy's polyphase resampler does the
+            # same thing faster when available.
+            try:
+                from scipy.signal import resample_poly
+                from math import gcd
+
+                g = gcd(rate, 16000)
+                return resample_poly(audio, 16000 // g, rate // g).astype(
+                    np.float32
+                )
+            except Exception:
+                cutoff = 0.45 * 16000 / rate  # cycles/sample at input rate
+                taps = 101
+                n = np.arange(taps) - (taps - 1) / 2
+                h = np.sinc(2 * cutoff * n) * np.hamming(taps)
+                h /= h.sum()
+                audio = np.convolve(audio, h, mode="same").astype(np.float32)
         n_out = int(round(len(audio) * 16000 / rate))
         audio = np.interp(
             np.arange(n_out) / 16000.0, np.arange(len(audio)) / rate, audio

@@ -99,3 +99,53 @@ def test_prefetch_propagates_producer_errors():
         assert "mid-epoch" in str(e)
     else:
         raise AssertionError("producer exception was swallowed")
+
+
+def test_prefetch_abandoned_early_releases_producer():
+    """Breaking out of a prefetch loop mid-epoch (train step raised) must
+    stop the producer thread instead of leaving it blocked on a full queue
+    with staged device buffers pinned (regression)."""
+    import itertools
+    import time
+
+    from qasr_ijcnlp_tpu.data.loader import prefetch_to_device
+
+    produced = []
+
+    def src():
+        for i in itertools.count():
+            produced.append(i)
+            yield (np.zeros(2, np.float32),)
+
+    gen = prefetch_to_device(src())
+    next(gen)
+    gen.close()  # abandon mid-epoch -> finally sets stop + drains
+    n_at_close = len(produced)
+    time.sleep(0.6)  # producer polls stop every 0.1 s
+    assert len(produced) <= n_at_close + 2
+
+
+def test_dataset_texts_prefers_text_accessor():
+    from qasr_ijcnlp_tpu.data import dataset_texts
+
+    class WithAccessor:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            raise AssertionError("must not decode audio for text-only access")
+
+        def text(self, i):
+            return f"t{i}"
+
+    assert dataset_texts(WithAccessor()) == ["t0", "t1", "t2"]
+    assert dataset_texts(WithAccessor(), 2) == ["t0", "t1"]
+
+    class Plain:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return (None, f"p{i}")
+
+    assert dataset_texts(Plain()) == ["p0", "p1"]

@@ -334,3 +334,38 @@ def test_close_releases_atexit_reference(small_model):
     del t
     gc.collect()
     assert ref() is None, "closed transcriber still reachable (atexit leak)"
+
+
+def test_wav_resample_antialiases():
+    """A 12 kHz tone in a 48 kHz upload is above the 16 kHz-Nyquist band;
+    bare np.interp folds it to 4 kHz at nearly full amplitude (regression) —
+    the resampler must low-pass it away."""
+    import io
+    import wave
+
+    from qasr_ijcnlp_tpu.serving import _decode_wav_bytes
+
+    sr, dur = 48000, 0.5
+    t = np.arange(int(sr * dur)) / sr
+    tone = (0.8 * np.sin(2 * np.pi * 12000 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+    audio = _decode_wav_bytes(buf.getvalue())
+    assert len(audio) == int(16000 * dur)
+    rms = float(np.sqrt(np.mean(audio**2)))
+    assert rms < 0.05, f"aliased energy leaked through: rms={rms:.3f}"
+
+
+def test_transcribe_after_close_fails_fast(small_model):
+    from qasr_ijcnlp_tpu.serving import BatchingTranscriber
+
+    tr = BatchingTranscriber(small_model, batch_size=2, max_wait_ms=5.0)
+    tr.close()
+    t0 = __import__("time").perf_counter()
+    with pytest.raises(RuntimeError):
+        tr.transcribe(np.zeros(16000, np.float32))
+    assert __import__("time").perf_counter() - t0 < 5.0
