@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
-_SOURCES = ["bpe.cpp", "editdist.cpp", "wavio.cpp", "flac.cpp"]
+_SOURCES = ["bpe.cpp", "editdist.cpp", "wavio.cpp", "flac.cpp", "resample.cpp"]
 
 
 def _source_hash() -> str:
@@ -108,6 +108,11 @@ def native_wav_decode(data: bytes, target_rate: int = 16000):
     import numpy as np
 
     n = lib.qasr_wav_decode(data, len(data), target_rate, None, 0)
+    if n == -2:
+        # Unsupported-but-valid format (e.g. WAVE_FORMAT_EXTENSIBLE, exotic
+        # widths): None = "try the next decoder in the chain", same as when
+        # the native lib is missing.  Only malformed input raises.
+        return None
     if n < 0:
         raise ValueError(f"WAV decode failed (code {n})")
     out = np.empty(int(n), np.float32)
@@ -130,6 +135,8 @@ def native_flac_decode(data: bytes, target_rate: int = 16000):
     import numpy as np
 
     n = lib.qasr_flac_decode(data, len(data), target_rate, None, 0)
+    if n == -2:
+        return None  # unsupported variant: defer to the next decoder
     if n < 0:
         raise ValueError(f"FLAC decode failed (code {n})")
     out = np.empty(int(n), np.float32)

@@ -44,10 +44,43 @@ TOKENS_PER_SECOND = SAMPLE_RATE // N_SAMPLES_PER_TOKEN  # 20ms per audio token
 # ---------------------------------------------------------------------------
 
 
+def resample_audio(data: np.ndarray, rate: int, sr: int) -> np.ndarray:
+    """Mono waveform ``rate`` -> ``sr`` Hz with anti-aliasing.
+
+    Downsampling low-passes BEFORE interpolating (bare np.interp folds all
+    content above the target Nyquist back into the band); scipy's polyphase
+    resampler when available, windowed-sinc FIR + linear interp otherwise.
+    The native decoders apply the same filter in C++ (native/resample.cpp).
+    """
+    if rate == sr:
+        return np.asarray(data, np.float32)
+    if sr < rate:
+        try:
+            from math import gcd
+
+            from scipy.signal import resample_poly
+
+            g = gcd(int(rate), int(sr))
+            return resample_poly(data, sr // g, rate // g).astype(np.float32)
+        except Exception:
+            cutoff = 0.45 * sr / rate  # cycles/sample at the input rate
+            taps = 65
+            n = np.arange(taps) - (taps - 1) / 2
+            h = np.sinc(2 * cutoff * n) * np.hamming(taps)
+            h /= h.sum()
+            data = np.convolve(data, h, mode="same")
+    n_out = int(round(len(data) * sr / rate))
+    x_old = np.arange(len(data), dtype=np.float64) / rate
+    x_new = np.arange(n_out, dtype=np.float64) / sr
+    return np.interp(x_new, x_old, data).astype(np.float32)
+
+
 def _load_wav(file: str, sr: int) -> np.ndarray:
     """Decode a PCM WAV file, mono-mixing and resampling.
 
-    Prefers the native C++ decoder (native/wavio.cpp); stdlib fallback."""
+    Prefers the native C++ decoder (native/wavio.cpp); stdlib fallback
+    (unsupported-but-valid variants like WAVE_FORMAT_EXTENSIBLE return None
+    from the native decoder and fall through here)."""
     try:
         from ._native import native_wav_decode
 
@@ -77,13 +110,7 @@ def _load_wav(file: str, sr: int) -> np.ndarray:
         raise ValueError(f"Unsupported WAV sample width: {width}")
     if n_channels > 1:
         data = data.reshape(-1, n_channels).mean(axis=1)
-    if rate != sr:
-        # Linear-interpolation resample; adequate for CLI use without ffmpeg.
-        n_out = int(round(len(data) * sr / rate))
-        x_old = np.arange(len(data), dtype=np.float64) / rate
-        x_new = np.arange(n_out, dtype=np.float64) / sr
-        data = np.interp(x_new, x_old, data).astype(np.float32)
-    return data
+    return resample_audio(data, rate, sr)
 
 
 def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
@@ -121,13 +148,7 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
         import soundfile  # type: ignore
 
         data, rate = soundfile.read(file, dtype="float32", always_2d=True)
-        data = data.mean(axis=1)
-        if rate != sr:
-            n_out = int(round(len(data) * sr / rate))
-            x_old = np.arange(len(data), dtype=np.float64) / rate
-            x_new = np.arange(n_out, dtype=np.float64) / sr
-            data = np.interp(x_new, x_old, data).astype(np.float32)
-        return data.astype(np.float32)
+        return resample_audio(data.mean(axis=1), rate, sr)
     except ImportError:
         raise RuntimeError(
             f"Cannot decode {file!r}: no ffmpeg binary and no soundfile package; "

@@ -52,12 +52,18 @@ class _AudioView:
 
     def __init__(self, base):
         self.base = base
+        # True per-clip durations, recorded as clips stream through, so the
+        # reported RTF counts real speech seconds — not the 30 s padded
+        # window (LibriSpeech averages ~12 s/clip; counting padding would
+        # overstate throughput ~2.5x).
+        self.durations = np.zeros(len(base))
 
     def __len__(self):
         return len(self.base)
 
     def __getitem__(self, i):
         audio, text = self.base[i]
+        self.durations[int(i)] = len(audio) / 16000.0
         return np.asarray(pad_or_trim(audio), np.float32), np.int32(i)
 
 
@@ -70,7 +76,8 @@ def main(argv=None):
         _SPLIT_MAP.get(args.split, args.split), args.max_samples
     )
     texts = dataset_texts(base)
-    loader = DataLoader(_AudioView(base), args.batch_size, shuffle=False)
+    view = _AudioView(base)
+    loader = DataLoader(view, args.batch_size, shuffle=False)
 
     mesh = None
     eff_batch = args.batch_size
@@ -87,7 +94,6 @@ def main(argv=None):
 
     options = DecodingOptions(language="en", without_timestamps=True)
     hypotheses = [None] * len(base)
-    audio_seconds = len(base) * 30.0
     t0 = time.time()
     for batch in loader:
         (audio, idx), real = pad_batch_to(batch, eff_batch)
@@ -102,6 +108,7 @@ def main(argv=None):
             hypotheses[int(idx[b])] = results[b].text
     jax.block_until_ready(jax.numpy.zeros(()))
     wall = time.time() - t0
+    audio_seconds = float(view.durations.sum())
     rtf = audio_seconds / wall
 
     normalizer = qmetrics.EnglishTextNormalizer()

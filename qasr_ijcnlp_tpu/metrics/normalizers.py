@@ -211,7 +211,7 @@ class _NumberFolder:
         self.acc = frac.numerator if frac.denominator == 1 else bare
 
     def _fold_zero(self):
-        self.acc = ("" if self.acc is None else str(self.acc)) + "0"
+        self.acc = str(self.acc or "") + "0"
 
     def _combine_ones(self, n: int, prev: Optional[str]) -> Union[str, int]:
         v, acc = self.v, self.acc
@@ -350,13 +350,13 @@ class _NumberFolder:
             if nxt in v.ones or nxt in v.zeros:
                 reps = 2 if word == "double" else 3
                 digit = str(v.ones.get(nxt, 0))
-                self.acc = ("" if self.acc is None else str(self.acc)) + digit * reps
+                self.acc = str(self.acc or "") + digit * reps
                 return 1  # consumed the digit word
             self.flush()
             self.emit(word)
         elif word == "point":
             if nxt in v.decimal_heads or nxt_numeric:
-                self.acc = ("" if self.acc is None else str(self.acc)) + "."
+                self.acc = str(self.acc or "") + "."
         return 0
 
 

@@ -10,6 +10,11 @@
 #include <cstring>
 #include <vector>
 
+namespace qasr {
+int64_t resample_linear(const std::vector<float>& mono, uint32_t rate,
+                        int32_t target_rate, float* out, int64_t cap);
+}  // namespace qasr
+
 namespace {
 
 struct Reader {
@@ -109,28 +114,8 @@ int64_t qasr_wav_decode(const uint8_t* data, int64_t len, int32_t target_rate,
     mono[i] = static_cast<float>(acc / channels);
   }
 
-  // Linear resample to target_rate.
-  int64_t n_out;
-  if (rate == static_cast<uint32_t>(target_rate)) {
-    n_out = static_cast<int64_t>(frames);
-    if (cap == 0) return n_out;
-    if (n_out > cap) return -3;
-    std::memcpy(out, mono.data(), static_cast<size_t>(n_out) * 4);
-    return n_out;
-  }
-  n_out = static_cast<int64_t>(
-      frames * static_cast<double>(target_rate) / rate + 0.5);
-  if (cap == 0) return n_out;
-  if (n_out > cap) return -3;
-  for (int64_t j = 0; j < n_out; ++j) {
-    const double t = static_cast<double>(j) * rate / target_rate;
-    const size_t i0 = static_cast<size_t>(t);
-    const double frac = t - static_cast<double>(i0);
-    const float a = i0 < frames ? mono[i0] : 0.0f;
-    const float b = i0 + 1 < frames ? mono[i0 + 1] : a;
-    out[j] = static_cast<float>(a + (b - a) * frac);
-  }
-  return n_out;
+  // Anti-aliased resample to target_rate (native/resample.cpp).
+  return qasr::resample_linear(mono, rate, target_rate, out, cap);
 }
 
 }  // extern "C"

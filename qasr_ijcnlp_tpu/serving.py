@@ -245,33 +245,9 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
     audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     if n_ch > 1:
         audio = audio.reshape(-1, n_ch).mean(axis=1)
-    if rate != 16000:
-        if rate > 16000:
-            # Anti-alias before decimation: bare interpolation folds all
-            # content above 8 kHz back into the band (44.1/48 kHz uploads
-            # are the common case).  Windowed-sinc FIR low-pass at
-            # 0.45 * target Nyquist; scipy's polyphase resampler does the
-            # same thing faster when available.
-            try:
-                from scipy.signal import resample_poly
-                from math import gcd
+    from .audio import resample_audio
 
-                g = gcd(rate, 16000)
-                return resample_poly(audio, 16000 // g, rate // g).astype(
-                    np.float32
-                )
-            except Exception:
-                cutoff = 0.45 * 16000 / rate  # cycles/sample at input rate
-                taps = 101
-                n = np.arange(taps) - (taps - 1) / 2
-                h = np.sinc(2 * cutoff * n) * np.hamming(taps)
-                h /= h.sum()
-                audio = np.convolve(audio, h, mode="same").astype(np.float32)
-        n_out = int(round(len(audio) * 16000 / rate))
-        audio = np.interp(
-            np.arange(n_out) / 16000.0, np.arange(len(audio)) / rate, audio
-        ).astype(np.float32)
-    return audio
+    return resample_audio(audio, rate, 16000)  # anti-aliased downsample
 
 
 # Decode options the long-form pipeline accepts verbatim (transcribe()

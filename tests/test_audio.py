@@ -86,3 +86,52 @@ def test_log_mel_on_speechlike_signal(rng):
     ref = whisper.log_mel_spectrogram(torch.from_numpy(wav)).numpy()
     ours = np.asarray(qaudio.log_mel_spectrogram(wav))
     np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_resample_audio_antialiases():
+    """Downsampling must low-pass first: a 12 kHz tone at 48 kHz is above
+    the 16 kHz-Nyquist band and may not fold down to 4 kHz (regression for
+    bare np.interp resampling)."""
+    from qasr_ijcnlp_tpu.audio import resample_audio
+
+    sr_in = 48000
+    t = np.arange(sr_in // 2) / sr_in
+    tone = (0.8 * np.sin(2 * np.pi * 12000 * t)).astype(np.float32)
+    out = resample_audio(tone, sr_in, 16000)
+    assert len(out) == 8000
+    assert float(np.sqrt(np.mean(out**2))) < 0.05
+    # In-band content survives: 1 kHz tone keeps its energy.
+    tone_lo = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    out_lo = resample_audio(tone_lo, sr_in, 16000)
+    rms = float(np.sqrt(np.mean(out_lo[100:-100] ** 2)))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.02
+    # Identity and upsample paths.
+    assert resample_audio(tone, sr_in, sr_in) is not None
+    up = resample_audio(out_lo, 16000, 32000)
+    assert len(up) == 16000
+
+
+def test_wav_extensible_format_falls_through_to_stdlib(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE, standard output of many
+    recorders) is unsupported by the native decoder (-2); _load_wav must
+    fall through to the stdlib wave module instead of raising (regression)."""
+    import struct
+
+    from qasr_ijcnlp_tpu.audio import _load_wav
+
+    rng = np.random.default_rng(3)
+    audio = (0.3 * rng.standard_normal(16000)).astype(np.float32)
+    pcm = (audio * 32767).astype(np.int16)
+    # Hand-rolled WAVE_FORMAT_EXTENSIBLE container, 16-bit PCM mono 16 kHz.
+    sub_fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    sub_fmt += struct.pack("<HHI", 22, 16, 1)  # cbSize, valid bits, mask
+    sub_fmt += b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    data = pcm.tobytes()
+    body = (b"WAVEfmt " + struct.pack("<I", len(sub_fmt)) + sub_fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    path = str(tmp_path / "ext.wav")
+    with open(path, "wb") as f:
+        f.write(wav)
+    out = _load_wav(path, 16000)
+    np.testing.assert_allclose(out, pcm / 32768.0, atol=1e-4)

@@ -122,6 +122,13 @@ CASES = [
     "42nd street and 5th avenue",
     "one hundred percent",
     "seven hundred and seventy seven",
+    # digit-zero accumulator followed by point/zero/double/triple: the
+    # reference's str(value or "") DROPS an integer-zero accumulator
+    "0 point 5",
+    "0 zero",
+    "0 double five",
+    "0 triple two",
+    "ten 0 and 0 0 7",
 ]
 
 
@@ -137,7 +144,7 @@ def test_english_normalizer_fuzz_parity():
         "one two three twenty thirty hundred thousand million point oh zero "
         "and a half dollars cents pounds percent per cent minus plus first "
         "third fifth dozen cat dog the of randomword 7 13 2.5 $3 fifty "
-        "double triple ones sixties seventieth"
+        "double triple ones sixties seventieth 0"
     ).split()
     ours, ref = EnglishTextNormalizer(), RefEnglish()
     rnd = random.Random(1)

@@ -232,3 +232,64 @@ def test_real_audio_beam_word_timing_parity_base_width(
             assert wo["word"] == wr["word"]
             assert abs(wo["start"] - wr["start"]) < 0.02
             assert abs(wo["end"] - wr["end"]) < 0.02
+
+
+def test_malformed_flac_rice_partition_rejected():
+    """Rice partition size smaller than the LPC order must be rejected as
+    malformed: the residual count would underflow uint32 and write ~2^32
+    samples past the block buffer (regression for a confirmed segfault)."""
+    import pytest
+
+    from qasr_ijcnlp_tpu._native import native_flac_decode
+
+    class _BW:
+        def __init__(self):
+            self.bits = []
+
+        def w(self, val, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((val >> i) & 1)
+
+        def bytes(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                b = 0
+                for bit in self.bits[i:i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+            return bytes(out)
+
+    si = _BW()
+    si.w(4096, 16); si.w(4096, 16)  # min/max blocksize
+    si.w(0, 24); si.w(0, 24)        # min/max frame size
+    si.w(16000, 20)                 # sample rate
+    si.w(0, 3)                      # 1 channel
+    si.w(15, 5)                     # 16 bps
+    si.w(0, 36)                     # total samples unknown
+    streaminfo = si.bytes() + b"\x00" * 16
+    hdr = b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
+
+    f = _BW()
+    f.w(0b11111111111110, 14)  # sync
+    f.w(0, 1); f.w(0, 1)
+    f.w(12, 4)                 # blocksize 4096
+    f.w(5, 4)                  # 16 kHz
+    f.w(0, 4)                  # 1 channel
+    f.w(4, 3)                  # 16 bps
+    f.w(0, 1)
+    f.w(0, 8)                  # frame number
+    f.w(0, 8)                  # crc8
+    f.w(0, 1); f.w(63, 6); f.w(0, 1)  # subframe: LPC order 32
+    for _ in range(32):
+        f.w(0, 16)             # warmup
+    f.w(0, 4); f.w(0, 5)       # precision, shift
+    for _ in range(32):
+        f.w(0, 1)              # coefficients
+    # residual: partition order 8 -> psize 16 < order 32 (the underflow)
+    f.w(0, 2); f.w(8, 4); f.w(0, 4)
+    data = hdr + f.bytes() + b"\xff" * (1 << 16)
+
+    with pytest.raises(ValueError):
+        native_flac_decode(data, 16000)
