@@ -125,9 +125,11 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_quantum_encoder(dims: ModelDimensions, dtype: str):
+def _jitted_quantum_encoder(dims: ModelDimensions, dtype: str, mesh=None):
     return jax.jit(
-        lambda enc, mel: quantum_encoder_apply(enc, mel, dims, jnp.dtype(dtype))
+        lambda enc, mel: quantum_encoder_apply(
+            enc, mel, dims, jnp.dtype(dtype), mesh=mesh
+        )
     )
 
 
@@ -138,9 +140,13 @@ class QuantumWhisperModel(WhisperModel):
     n_qubits: int = 4
 
     def embed_audio(self, mel):
-        return _jitted_quantum_encoder(self.dims, str(self.compute_dtype))(
-            self.params["encoder"], mel
-        )
+        # self.mesh keys the cache like the base class (registry.py:126-129):
+        # a sharded model must route the trunk through the explicit TP/SP
+        # shard_map path instead of GSPMD-gathering the sharded weights
+        # around each opaque kernel.
+        return _jitted_quantum_encoder(
+            self.dims, str(self.compute_dtype), self.mesh
+        )(self.params["encoder"], mel)
 
     def forward(self, mel, tokens):
         # jitted quantum encoder + the base class's cached jitted decoder

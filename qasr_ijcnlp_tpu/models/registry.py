@@ -134,7 +134,11 @@ class WhisperModel:
         )
 
     def forward(self, mel, tokens):
-        return _model.forward(self.params, mel, tokens, self.dims, self._dtype)
+        # Thread the pinned mesh so a sharded model routes its encoder
+        # through the explicit TP/SP trunk (embed_audio already does).
+        return _model.forward(
+            self.params, mel, tokens, self.dims, self._dtype, mesh=self.mesh
+        )
 
     __call__ = forward
 
@@ -267,7 +271,17 @@ def load_model(
 
 
 def save_model(model: WhisperModel, path: str) -> None:
-    """Save in the official .pt format (loadable by the reference)."""
+    """Save in the official .pt format (loadable by the reference).
+
+    Only classical-stem models map onto the official layout; a quantum-stem
+    model (qconv1/qconv2 instead of conv1/conv2) has no official format —
+    use ``train.checkpoint.save_pytree`` for those."""
+    if "conv1" not in model.params.get("encoder", {}):
+        raise ValueError(
+            "save_model exports the official .pt layout, which has no "
+            "quantum stem; save quantum models with "
+            "train.checkpoint.save_pytree instead"
+        )
     from .convert import save_torch_checkpoint
 
     save_torch_checkpoint(path, model.params, model.dims)

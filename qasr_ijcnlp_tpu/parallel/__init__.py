@@ -48,8 +48,19 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process environment
+    except (RuntimeError, ValueError) as e:
+        if coordinator_address is None and num_processes is None:
+            return  # auto-discovery in a single-process environment: no-op
+        if "already" in str(e).lower():
+            return  # idempotent re-init
+        # The caller explicitly asked for a multi-host cluster; a silent
+        # fallback would train N independent single-host jobs on duplicated
+        # data with no error.  Refuse instead.
+        raise RuntimeError(
+            f"jax.distributed.initialize failed for "
+            f"coordinator={coordinator_address!r} num_processes={num_processes} "
+            f"process_id={process_id}: {e}"
+        ) from e
 
 
 def make_mesh(
@@ -67,7 +78,9 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if model_parallel < 1 or n % model_parallel != 0:
+    if model_parallel < 1:
+        model_parallel = 1  # degrade to pure DP (docstring contract)
+    if n % model_parallel != 0:
         model_parallel = max(
             d for d in range(1, min(model_parallel, n) + 1) if n % d == 0
         )

@@ -37,7 +37,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from . import DATA_AXIS, MODEL_AXIS, encoder_block_specs
+from . import DATA_AXIS, MODEL_AXIS, _path_keys, encoder_block_specs
+
+def _lin(t, p, dt):
+    """y = t @ w (+ b) with weights cast to the compute dtype — the one
+    projection primitive shared by every shard_map trunk (keeps them in
+    lockstep with models.whisper.linear's dtype handling)."""
+    out = t @ p["w"].astype(dt)
+    return out + p["b"].astype(dt) if "b" in p else out
+
 
 
 def mesh_axis_sizes(mesh: Mesh):
@@ -185,10 +193,7 @@ def sp_trunk(params, x, dims, t_real: int, mesh: Mesh):
 
         def layer(xc, bp):
             h = w.layer_norm(xc, bp["attn_ln"])
-            lin = lambda t, p: (
-                t @ p["w"].astype(dt) + p["b"].astype(dt)
-                if "b" in p else t @ p["w"].astype(dt)
-            )
+            lin = lambda t, p: _lin(t, p, dt)
             q = lin(h, bp["attn"]["query"]) * scale
             k_loc = lin(h, bp["attn"]["key"]) * scale
             v_loc = lin(h, bp["attn"]["value"])
@@ -290,10 +295,7 @@ def pp_trunk(params, x, dims, t_real: int, mesh: Mesh, n_micro: int = 4):
                 0, 2, 1, 3
             )
 
-        lin = lambda t, p: (
-            t @ p["w"].astype(dt) + p["b"].astype(dt)
-            if "b" in p else t @ p["w"].astype(dt)
-        )
+        lin = lambda t, p: _lin(t, p, dt)
 
         def layer(xc, bp):
             h = w.layer_norm(xc, bp["attn_ln"])
@@ -377,18 +379,12 @@ def _ep_block_specs(blocks):
     under the EP trunk)."""
 
     def spec(path, leaf):
-        keys = _path_keys_local(path)
+        keys = _path_keys(path)
         if "experts" in keys:
             return P(None, MODEL_AXIS, *([None] * (leaf.ndim - 2)))
         return P()
 
     return jax.tree_util.tree_map_with_path(spec, blocks)
-
-
-def _path_keys_local(path):
-    return tuple(
-        getattr(p, "key", getattr(p, "name", None)) for p in path
-    )
 
 
 def ep_trunk(params, x, dims, moe, t_real: int, mesh: Mesh):
@@ -447,10 +443,7 @@ def ep_trunk(params, x, dims, moe, t_real: int, mesh: Mesh):
         def split(z):
             return z.reshape(B_l, -1, n_head, dh).transpose(0, 2, 1, 3)
 
-        lin = lambda t, p: (
-            t @ p["w"].astype(dt) + p["b"].astype(dt)
-            if "b" in p else t @ p["w"].astype(dt)
-        )
+        lin = lambda t, p: _lin(t, p, dt)
 
         def layer(xc, bp):
             h = w.layer_norm(xc, bp["attn_ln"])

@@ -45,10 +45,17 @@ class StepTimer:
 
     @contextlib.contextmanager
     def step(self, name: str, result_holder: Optional[list] = None):
+        import jax.numpy as jnp
+
         t0 = time.perf_counter()
         yield
         if result_holder:
             jax.block_until_ready(result_holder[-1])
+        else:
+            # No holder: flush the device queue anyway (programs execute in
+            # order), otherwise this records only async-dispatch time — a
+            # 300 ms step would report as sub-millisecond.
+            jax.block_until_ready(jnp.zeros(()))
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 

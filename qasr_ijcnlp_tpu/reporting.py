@@ -52,6 +52,8 @@ def _plt():
 
 
 def plot_cer_distribution(cers: List[float], save_path: str = "cer_distribution.png"):
+    if not cers:
+        return None  # nothing to plot
     plt = _plt()
     fig, ax = plt.subplots(figsize=(8, 5))
     ax.hist(cers, bins=30, edgecolor="black", alpha=0.75)
@@ -72,7 +74,9 @@ def plot_metrics_distribution(
 ):
     """One histogram panel per metric (utils.py:221-276)."""
     plt = _plt()
-    names = list(per_sample)
+    names = [n for n in per_sample if len(per_sample[n])]
+    if not names:
+        return None  # nothing to plot (all metrics skipped/empty)
     fig, axes = plt.subplots(1, len(names), figsize=(6 * len(names), 4.5))
     if len(names) == 1:
         axes = [axes]

@@ -146,6 +146,20 @@ def test_make_mesh_degrades_to_divisor():
     assert mesh.shape == {"data": 2, "model": 3}
     mesh1 = parallel.make_mesh(jax.devices()[:1], model_parallel=2)
     assert mesh1.shape == {"data": 1, "model": 1}
+    # model_parallel <= 0 degrades to pure DP instead of ValueError
+    mesh0 = parallel.make_mesh(jax.devices()[:4], model_parallel=0)
+    assert mesh0.shape == {"data": 4, "model": 1}
+    meshn = parallel.make_mesh(jax.devices()[:4], model_parallel=-1)
+    assert meshn.shape == {"data": 4, "model": 1}
+
+
+def test_initialize_distributed_refuses_explicit_failure():
+    # An explicitly requested multi-host cluster that cannot initialize must
+    # raise, not silently fall back to N independent single-host runs.
+    with pytest.raises(RuntimeError):
+        parallel.initialize_distributed(
+            coordinator_address="127.0.0.1:1", num_processes=2, process_id=7
+        )
 
 
 def test_data_parallel_decode_matches_single_device(params):
