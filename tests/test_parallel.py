@@ -375,3 +375,30 @@ def test_tensor_parallel_decode_matches_single_device(params):
     # over the psum-completed hidden state)
     for a, b in zip(base, sharded):
         np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, rtol=1e-4)
+
+
+def test_sharded_model_forward_matches_unsharded(params):
+    """WhisperModel.forward must thread the pinned mesh (regression: it
+    dropped mesh, so a TP-sharded model GSPMD-gathered its head-sharded
+    weights instead of using the explicit trunk)."""
+    import copy
+
+    from qasr_ijcnlp_tpu.models.registry import WhisperModel
+
+    rng = np.random.default_rng(23)
+    mel = jnp.asarray(
+        rng.standard_normal((4, DIMS.n_mels, DIMS.n_audio_ctx * 2)),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, DIMS.n_vocab, (4, 6)), jnp.int32)
+
+    m = WhisperModel(params, DIMS, name="fw-base")
+    base = np.asarray(m(mel, tokens))
+
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=2)
+    m_tp = WhisperModel(
+        copy.deepcopy(params), DIMS, name="fw-sharded"
+    ).shard(mesh)
+    assert m_tp.mesh is not None
+    out = np.asarray(m_tp(parallel.shard_batch(mel, mesh), tokens))
+    np.testing.assert_allclose(out, base, rtol=2e-4, atol=2e-4)
