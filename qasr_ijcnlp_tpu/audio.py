@@ -120,19 +120,38 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
     binary when present; falls back to a stdlib WAV decoder and, if installed,
     ``soundfile`` for other formats.
     """
+    audio = _load_audio_any(file, sr)
+    if audio.dtype == np.int16:
+        return audio.astype(np.float32) / 32768.0
+    return audio
+
+
+def _load_audio_any(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Like :func:`load_audio`, but keeps the waveform **int16** whenever the
+    decode chain is losslessly 16-bit (ffmpeg's s16le output; a 16-bit mono
+    WAV already at ``sr``) and returns float32 otherwise.
+
+    int16 halves the host->device bytes for long audio — the dominant
+    single-stream cost of batched long-form transcription — and
+    :func:`log_mel_spectrogram` rescales on device with an exact
+    power-of-two divide, so the mel is bit-identical to the float path.
+    """
     cmd = [
         "ffmpeg", "-nostdin", "-threads", "0", "-i", file,
         "-f", "s16le", "-ac", "1", "-acodec", "pcm_s16le", "-ar", str(sr), "-",
     ]
     try:
         out = subprocess.run(cmd, capture_output=True, check=True).stdout
-        return np.frombuffer(out, np.int16).flatten().astype(np.float32) / 32768.0
+        return np.frombuffer(out, np.int16).flatten()
     except FileNotFoundError:
         pass  # no ffmpeg binary on this host
     except subprocess.CalledProcessError as e:
         raise RuntimeError(f"Failed to load audio: {e.stderr.decode()}") from e
 
     if file.lower().endswith(".wav"):
+        pcm = _read_wav_pcm16(file, sr)
+        if pcm is not None:
+            return pcm
         return _load_wav(file, sr)
     with open(file, "rb") as f:
         head = f.read(4)
@@ -154,6 +173,26 @@ def load_audio(file: str, sr: int = SAMPLE_RATE) -> np.ndarray:
             f"Cannot decode {file!r}: no ffmpeg binary and no soundfile package; "
             "only PCM WAV is supported natively."
         )
+
+
+def _read_wav_pcm16(file: str, sr: int) -> Optional[np.ndarray]:
+    """int16 samples of a mono 16-bit PCM WAV already at ``sr`` Hz, or None
+    when the file needs mixing/resampling/format conversion (those paths go
+    through the float decoders)."""
+    import wave
+
+    try:
+        with wave.open(file, "rb") as w:
+            if (
+                w.getnchannels() != 1
+                or w.getsampwidth() != 2
+                or w.getframerate() != sr
+            ):
+                return None
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None  # compressed/extensible variants: full decoders below
+    return np.frombuffer(raw, np.int16)
 
 
 def pad_or_trim(array, length: int = N_SAMPLES, *, axis: int = -1):
@@ -312,6 +351,13 @@ def _log_mel_jit(audio: jnp.ndarray, n_mels: int, padding: int) -> jnp.ndarray:
     return (log_spec + 4.0) / 4.0
 
 
+@jax.jit
+def _dequant_i16(x: jnp.ndarray) -> jnp.ndarray:
+    # Exact: every int16/32768 value is a float32; matches the host-side
+    # ``astype(np.float32) / 32768.0`` of load_audio bit-for-bit.
+    return x.astype(jnp.float32) / 32768.0
+
+
 def preprocess_audio_for_whisper(audio, n_mels: int = 80):
     """Raw waveform -> model-ready (n_mels, 3000) mel (reference
     utils.py:121-139: pad/trim to 30 s then log-mel)."""
@@ -332,12 +378,25 @@ def log_mel_spectrogram(
 
     Batched calls clamp each item's dynamic range by its own max, matching
     the reference's per-clip computation exactly.
+
+    int16 input (arrays, or files whose decode chain is losslessly 16-bit)
+    crosses to the device as int16 — half the transfer bytes, the dominant
+    single-stream cost for long audio — and is rescaled on device by an
+    exact power-of-two divide, bit-identical to pre-scaled float32 input.
     """
     if isinstance(audio, str):
-        audio = load_audio(audio)
-    audio = jnp.asarray(audio, dtype=jnp.float32)
-    if device is not None:
-        audio = jax.device_put(audio, device)
+        audio = _load_audio_any(audio)
+    if getattr(audio, "dtype", None) == np.int16 or (
+        isinstance(audio, jax.Array) and audio.dtype == jnp.int16
+    ):
+        audio = jnp.asarray(audio)
+        if device is not None:
+            audio = jax.device_put(audio, device)
+        audio = _dequant_i16(audio)
+    else:
+        audio = jnp.asarray(audio, dtype=jnp.float32)
+        if device is not None:
+            audio = jax.device_put(audio, device)
     if _fused_mel_enabled():
         from .ops.melfront import (
             fused_log_mel_batched,

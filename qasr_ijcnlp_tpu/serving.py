@@ -129,6 +129,11 @@ class BatchingTranscriber:
         inputs keep their full dynamic range (~90 dB SNR per clip)."""
         if self._stop.is_set():
             raise RuntimeError("transcriber is closed")
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            # raw PCM passthrough from _decode_wav_bytes: restore [-1, 1]
+            # scale before the per-clip peak quantization below.
+            audio = audio.astype(np.float32) / 32768.0
         audio = pad_or_trim(np.asarray(audio, np.float32))
         peak = float(max(np.max(np.abs(audio)), 1e-9))
         item = _Pending(
@@ -242,7 +247,13 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
         raw = w.readframes(w.getnframes())
     if width != 2:
         raise ValueError("only 16-bit PCM WAV is supported")
-    audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    pcm = np.frombuffer(raw, np.int16)
+    if n_ch == 1 and rate == 16000:
+        # Lossless int16 passthrough: the long-form pipeline uploads it as-is
+        # (half the host->device bytes) and dequantizes on device
+        # (audio.log_mel_spectrogram), bit-identical to the float path.
+        return pcm
+    audio = pcm.astype(np.float32) / 32768.0
     if n_ch > 1:
         audio = audio.reshape(-1, n_ch).mean(axis=1)
     from .audio import resample_audio

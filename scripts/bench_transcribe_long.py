@@ -32,13 +32,20 @@ def main():
     )
     rng = np.random.default_rng(0)
     secs = minutes * 60
-    audio = (rng.standard_normal(int(16000 * secs)) * 0.05).astype(np.float32)
+    # Real audio sources are 16-bit PCM (LibriSpeech FLAC, ffmpeg s16le);
+    # int16 is the production representation.  The float32 rows measure the
+    # legacy upload (2x the host->device bytes).
+    pcm = (rng.standard_normal(int(16000 * secs)) * 0.05 * 32767).astype(
+        np.int16
+    )
+    audio_f32 = pcm.astype(np.float32) / 32768.0
 
     kw = dict(language="en", without_timestamps=True, sample_len=32,
               temperature=0.0, fp16=True)
-    for label, extra in (
-        ("batched-window (bw=32)", {"batch_windows": 32}),
-        ("sequential", {}),
+    for label, audio, extra in (
+        ("batched-window (bw=32) int16", pcm, {"batch_windows": 32}),
+        ("batched-window (bw=32) f32  ", audio_f32, {"batch_windows": 32}),
+        ("sequential int16", pcm, {}),
     ):
         transcribe(m, audio, **kw, **extra)  # warm/compile
         t0 = time.perf_counter()

@@ -135,3 +135,63 @@ def test_wav_extensible_format_falls_through_to_stdlib(tmp_path):
         f.write(wav)
     out = _load_wav(path, 16000)
     np.testing.assert_allclose(out, pcm / 32768.0, atol=1e-4)
+
+
+def test_log_mel_int16_exact_parity(rng):
+    """int16 input uploads raw PCM and dequantizes on device; the mel must be
+    bit-identical to pre-scaled float32 input (exact power-of-two divide)."""
+    pcm = (rng.standard_normal(32000) * 8000).astype(np.int16)
+    ref = np.asarray(qaudio.log_mel_spectrogram(pcm.astype(np.float32) / 32768.0))
+    ours = np.asarray(qaudio.log_mel_spectrogram(pcm))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_log_mel_int16_batched_and_padded(rng):
+    pcm = (rng.standard_normal((2, 16000)) * 8000).astype(np.int16)
+    ref = np.asarray(
+        qaudio.log_mel_spectrogram(pcm.astype(np.float32) / 32768.0, padding=800)
+    )
+    ours = np.asarray(qaudio.log_mel_spectrogram(pcm, padding=800))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_load_audio_any_wav_int16_passthrough(tmp_path, rng):
+    """A mono 16-bit 16 kHz WAV loads losslessly as int16; the float and mel
+    paths agree exactly with the public load_audio surface."""
+    import wave
+
+    pcm = (rng.standard_normal(16000) * 12000).astype(np.int16)
+    path = str(tmp_path / "mono16k.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    raw = qaudio._load_audio_any(path)
+    assert raw.dtype == np.int16
+    np.testing.assert_array_equal(raw, pcm)
+    np.testing.assert_array_equal(
+        np.asarray(qaudio.load_audio(path)), pcm.astype(np.float32) / 32768.0
+    )
+    # Path input to the mel keeps the int16 fast path, same output.
+    mel_from_path = np.asarray(qaudio.log_mel_spectrogram(path))
+    mel_from_float = np.asarray(qaudio.log_mel_spectrogram(qaudio.load_audio(path)))
+    np.testing.assert_array_equal(mel_from_path, mel_from_float)
+
+
+def test_load_audio_any_falls_back_to_float(tmp_path, rng):
+    """Stereo or non-16k WAVs need mixing/resampling, so the raw loader must
+    return float32 identical to load_audio."""
+    import wave
+
+    pcm = (rng.standard_normal((8000, 2)) * 12000).astype(np.int16)
+    path = str(tmp_path / "stereo16k.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    raw = qaudio._load_audio_any(path)
+    assert raw.dtype == np.float32
+    np.testing.assert_array_equal(raw, qaudio.load_audio(path))

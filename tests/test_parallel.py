@@ -289,7 +289,11 @@ import jax.numpy as jnp
 from jax.experimental.multihost_utils import process_allgather
 got = process_allgather(jnp.asarray([pid + 1.0]))
 assert float(got.sum()) == 3.0, got  # 1 + 2 across the cluster
-print("proc", pid, "ok")
+# Success marker goes to a FILE: Gloo's C++ logging writes to the same
+# stdout fd concurrently and has been observed splitting the marker line
+# mid-write (flaky "proc 0 ok" match).
+with open({marker!r} + str(pid), "w") as f:
+    f.write("ok")
 """
     import socket
 
@@ -298,20 +302,27 @@ print("proc", pid, "ok")
         port = s.getsockname()[1]
     import os
 
+    import tempfile
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = child.format(repo=repo, port=port)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", code, str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=repo,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=240) for p in procs]
-    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
-        assert f"proc {i} ok" in out
+    with tempfile.TemporaryDirectory() as tmp:
+        marker = os.path.join(tmp, "proc_ok_")
+        code = child.format(repo=repo, port=port, marker=marker)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code, str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                cwd=repo,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=240) for p in procs]
+        for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
+            assert os.path.exists(marker + str(i)), (
+                f"proc {i} exited 0 without writing its success marker:"
+                f"\n{out}\n{err}"
+            )
 
 
 def test_make_mesh_has_no_global_side_effects():

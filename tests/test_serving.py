@@ -369,3 +369,30 @@ def test_transcribe_after_close_fails_fast(small_model):
     with pytest.raises(RuntimeError):
         tr.transcribe(np.zeros(16000, np.float32))
     assert __import__("time").perf_counter() - t0 < 5.0
+
+
+def test_wav_mono16k_int16_passthrough_and_parity(service):
+    """A mono 16-bit 16 kHz WAV body decodes to raw int16 (lossless device
+    upload); the short-path transcriber must return the same result as the
+    pre-scaled float input."""
+    import io
+    import wave
+
+    from qasr_ijcnlp_tpu.serving import _decode_wav_bytes
+
+    rng = np.random.default_rng(7)
+    pcm = (0.1 * rng.standard_normal(16000) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    audio = _decode_wav_bytes(buf.getvalue())
+    assert audio.dtype == np.int16
+    np.testing.assert_array_equal(audio, pcm)
+
+    via_int16 = service.transcribe(audio)
+    via_float = service.transcribe(pcm.astype(np.float32) / 32768.0)
+    assert via_int16["tokens"] == via_float["tokens"]
+    assert via_int16["text"] == via_float["text"]

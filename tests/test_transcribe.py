@@ -368,3 +368,26 @@ def test_transcribe_batch_windows_clip_beyond_audio(tiny_model):
     )
     assert res["segments"] == []
     assert res["text"] == ""
+
+
+def test_transcribe_int16_input_token_parity(tiny_model):
+    """int16 waveform input (the lossless PCM device-upload fast path) must
+    produce the exact segments/tokens of the equivalent float32 input."""
+    from qasr_ijcnlp_tpu.transcribe import transcribe
+
+    audio_f = _synthetic_speechish_audio(4.0, seed=3)
+    pcm = (audio_f * 32768.0).astype(np.int16)
+    kwargs = dict(
+        language="en",
+        temperature=0.0,
+        sample_len=12,
+        no_speech_threshold=None,
+        logprob_threshold=None,
+        compression_ratio_threshold=None,
+    )
+    via_float = transcribe(tiny_model, pcm.astype(np.float32) / 32768.0, **kwargs)
+    via_int16 = transcribe(tiny_model, pcm, **kwargs)
+    assert via_int16["text"] == via_float["text"]
+    assert [s["tokens"] for s in via_int16["segments"]] == [
+        s["tokens"] for s in via_float["segments"]
+    ]
