@@ -32,7 +32,10 @@ def __getattr__(name):
         from .models import registry
 
         return getattr(registry, name)
-    if name in ("decode", "DecodingOptions", "DecodingResult", "detect_language"):
+    if name in (
+        "decode", "DecodingOptions", "DecodingResult", "detect_language",
+        "Draft",
+    ):
         from . import decode as _decode
 
         return getattr(_decode, name)

@@ -82,6 +82,13 @@ def build_parser():
                    help="perf opt-in: int8-quantized cross-attention KV cache "
                         "(fused Pallas decode kernel; halves the dominant "
                         "decode HBM stream, logits perturbed ~1e-2)")
+    p.add_argument("--draft_model", type=valid_model_name, default=None,
+                   help="perf opt-in: speculative greedy decoding — this "
+                        "smaller model drafts tokens the main model verifies "
+                        "in slab forwards (token-exact; greedy windows only, "
+                        "e.g. --draft_model tiny with --model small)")
+    p.add_argument("--draft_gamma", type=int, default=4,
+                   help="tokens drafted per speculative round")
     p.add_argument("--prompt_bucket", type=optional_int, default=None,
                    help="perf opt-in: trim conditioning prompts to a multiple "
                         "of this many tokens, bounding the set of XLA compile "
@@ -117,6 +124,21 @@ def main(argv=None):
     args.pop("threads")
 
     model = load_model_with_fallback(model_name)
+
+    if (draft_name := args.pop("draft_model")) is not None:
+        from ..decode import Draft
+
+        if args.get("beam_size") is not None:
+            warnings.warn(
+                "--draft_model accelerates GREEDY decoding only; pass "
+                "--beam_size None (and keep temperature 0) for the "
+                "speculative path to engage on beam-default windows"
+            )
+        args["draft"] = Draft(
+            load_model_with_fallback(draft_name), args.pop("draft_gamma")
+        )
+    else:
+        args.pop("draft_gamma")
 
     writer = get_writer(output_format, output_dir)
     word_options = ["highlight_words", "max_line_count", "max_line_width",

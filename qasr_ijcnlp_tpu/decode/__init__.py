@@ -23,6 +23,26 @@ from . import loop as _loop
 from .filters import build_config
 
 
+class Draft:
+    """Handle pairing a DRAFT model with the speculation width ``gamma``
+    for speculative greedy decoding (decode/speculative.py).
+
+    A plain class (identity hash/eq) rather than a dataclass so that a
+    DecodingOptions carrying one stays hashable for the per-model task
+    cache; two Draft objects are interchangeable only if they are the same
+    object, which is exactly the task-cache granularity we want (the wrapped
+    model's params may be swapped in place).
+    """
+
+    __slots__ = ("model", "gamma")
+
+    def __init__(self, model, gamma: int = 4):
+        if gamma < 1:
+            raise ValueError("draft gamma must be >= 1")
+        self.model = model
+        self.gamma = int(gamma)
+
+
 @dataclass(frozen=True)
 class DecodingOptions:
     """Mirror of the reference options (decoding.py:80-114)."""
@@ -55,6 +75,15 @@ class DecodingOptions:
     # dominant HBM stream; int8 rounding perturbs logits ~1e-2, so tokens
     # are not guaranteed identical to the fp path.
     kv_int8: bool = False
+
+    # Perf opt-in: speculative greedy decoding (decode/speculative.py).
+    # ``Draft(small_model, gamma)`` makes the draft model propose gamma
+    # tokens per round; the target verifies them in ONE slab forward, so
+    # committed tokens cost ~1/acceptance-rate fewer weight+KV HBM streams.
+    # Token-exact vs plain greedy.  Engages only when temperature == 0 with
+    # no beam/best_of and the decode input is a mel (both encoders run
+    # inside the decode program); other configurations fall back silently.
+    draft: Optional[Draft] = None
 
     # Perf opt-in: trim conditioning prompts to a multiple of this many
     # tokens so the jitted decode loop sees a bounded set of shape signatures
@@ -270,6 +299,30 @@ class DecodingTask:
             mesh=getattr(model_obj, "mesh", None),
         )
 
+        self.draft_cfg = None
+        if options.draft is not None:
+            dd = options.draft.model.dims
+            td = model_obj.dims
+            if dd.n_vocab != td.n_vocab or dd.n_mels != td.n_mels:
+                raise ValueError(
+                    f"draft model (vocab {dd.n_vocab}, {dd.n_mels} mels) is "
+                    f"incompatible with the target (vocab {td.n_vocab}, "
+                    f"{td.n_mels} mels); draft and target must share the "
+                    "tokenizer and mel frontend"
+                )
+            # Same filters/prompt geometry as the target (same tokenizer by
+            # the check above); only dims and mesh differ.  kv_int8 stays
+            # off for the draft: its cache traffic is already small and the
+            # perturbation would cost acceptance.
+            self.draft_cfg = self.loop_cfg._replace(
+                dims=dd,
+                kv_int8=False,
+                mesh=getattr(options.draft.model, "mesh", None),
+            )
+        # Committed-tokens / verify-rounds diagnostic from the last
+        # speculative run (mean accepted slab length ~= speedup factor).
+        self.last_spec_rounds: Optional[int] = None
+
     # -- option/prompt resolution (reference decoding.py:572-642) -----------
 
     def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
@@ -465,6 +518,36 @@ class DecodingTask:
     def _run_greedy(self, audio_input, init_rep, fuse_encode: bool = False):
         n_rep = init_rep.shape[0]
         n_audio = n_rep // self.n_group
+        use_spec = (
+            self.draft_cfg is not None
+            and self.options.temperature == 0
+            and self.n_group == 1
+            # The draft needs its own encoder features, so the input must be
+            # the mel (the language-detection path pre-encodes the target's
+            # features and falls back to plain greedy here).
+            and fuse_encode
+        )
+        if use_spec:
+            from .speculative import spec_greedy_decode
+
+            buf, cur_len, sum_lp, no_speech, xa, rounds = spec_greedy_decode(
+                self.model.params,
+                self.options.draft.model.params,
+                self.loop_cfg,
+                self.draft_cfg,
+                audio_input,
+                jnp.asarray(init_rep),
+                gamma=self.options.draft.gamma,
+            )
+            buf, sum_lp, no_speech, rounds = jax.device_get(
+                (buf, sum_lp, no_speech, rounds)
+            )
+            self.last_spec_rounds = int(rounds)
+            no_speech = no_speech[:: self.n_group]
+            tokens_lists = [[buf[i]] for i in range(n_audio)]
+            logprob_lists = [[float(sum_lp[i])] for i in range(n_audio)]
+            return tokens_lists, logprob_lists, no_speech, xa
+
         rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         buf, cur_len, sum_lp, no_speech, xa = _loop.greedy_decode(
             self.model.params,

@@ -90,17 +90,22 @@ def build_config(
 def apply_filters(
     cfg: FilterConfig,
     logits: jnp.ndarray,  # (B, V) fp32
-    cur_len: jnp.ndarray,  # scalar int32: tokens written so far
+    cur_len: jnp.ndarray,  # int32: tokens written so far — scalar, or (B,)
+    #                        per-row (the speculative decode path, where rows
+    #                        commit different numbers of tokens per round)
     last_tok: jnp.ndarray,  # (B,) last written token
     prev_tok: jnp.ndarray,  # (B,) second-to-last written token
     max_ts: jnp.ndarray,  # (B,) running max timestamp token (0 if none)
 ) -> jnp.ndarray:
     V = cfg.n_vocab
-    at_begin = cur_len == cfg.sample_begin
+    B = logits.shape[0]
+    # (B,) regardless of scalar/per-row input: every cur_len-derived mask
+    # below broadcasts per row, so the scalar path's numerics are unchanged.
+    at_begin = jnp.broadcast_to(cur_len == cfg.sample_begin, (B,))
 
     if cfg.blank_mask is not None:
         blank = jnp.asarray(np.frombuffer(cfg.blank_mask, np.uint8).astype(bool))
-        logits = jnp.where((blank & at_begin)[None, :], NEG_INF, logits)
+        logits = jnp.where(blank[None, :] & at_begin[:, None], NEG_INF, logits)
 
     if cfg.suppress_mask is not None:
         sup = jnp.asarray(np.frombuffer(cfg.suppress_mask, np.uint8).astype(bool))
@@ -138,12 +143,12 @@ def apply_filters(
         logits = jnp.where(have_ts[:, None] & ts_too_small, NEG_INF, logits)
 
         # First sampled token must be a timestamp, bounded by max_initial.
-        begin_text_mask = at_begin & (vocab_ids < ts_begin)
-        logits = jnp.where(begin_text_mask[None, :], NEG_INF, logits)
+        begin_text_mask = at_begin[:, None] & (vocab_ids < ts_begin)[None, :]
+        logits = jnp.where(begin_text_mask, NEG_INF, logits)
         if cfg.max_initial_timestamp_index is not None:
             last_allowed = ts_begin + cfg.max_initial_timestamp_index
-            begin_late = at_begin & (vocab_ids > last_allowed)
-            logits = jnp.where(begin_late[None, :], NEG_INF, logits)
+            begin_late = at_begin[:, None] & (vocab_ids > last_allowed)[None, :]
+            logits = jnp.where(begin_late, NEG_INF, logits)
 
         # If the total timestamp probability beats every text token, force a
         # timestamp (reference decoding.py:497-505).

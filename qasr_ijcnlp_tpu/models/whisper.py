@@ -622,6 +622,7 @@ def decoder_step(
     dims: ModelDimensions,
     compute_dtype=jnp.float32,
     logits_dtype=jnp.float32,
+    offsets: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Incremental decoder forward over ``tokens`` (B, T_new) starting at
     cache position ``cache['idx']``.  Returns (logits (B, T_new, vocab) in
@@ -637,23 +638,45 @@ def decoder_step(
     offset is dynamic.  When the cache's cross batch is smaller than B (see
     :func:`init_kv_cache`), cross-attention runs grouped without replicating
     the cross K/V.
+
+    ``offsets`` (B,) int32 gives each row its OWN write/position offset — the
+    speculative-decode path (decode/speculative.py), where rows accept
+    different numbers of draft tokens per round, rewinds per row by simply
+    passing smaller offsets: stale cache rows at positions >= a row's offset
+    are invisible (the causal mask admits keys by absolute position) and are
+    overwritten before any query can see them.  With ``offsets`` the scalar
+    ``cache['idx']`` is neither read nor advanced; the caller carries the
+    per-row positions.
     """
     B, T_new = tokens.shape
     n_head = dims.n_text_head
     Tmax = cache["self_k"][0].shape[1]  # may be < n_text_ctx (bounded decode)
     L = dims.n_text_layer
-    offset = cache["idx"]
-
-    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], offset, T_new, axis=0)
-    x = (params["tok_emb"][tokens] + pos).astype(compute_dtype)
-
-    # Mask over the full cache length: key j visible to query i (absolute
-    # position offset+i) iff j <= offset+i.
-    q_pos = offset + jnp.arange(T_new)
     k_pos = jnp.arange(Tmax)
-    mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, -jnp.inf).astype(
-        jnp.float32
-    )
+    if offsets is None:
+        offset = cache["idx"]
+        pos = jax.lax.dynamic_slice_in_dim(
+            params["pos_emb"], offset, T_new, axis=0
+        )
+        # Mask over the full cache length: key j visible to query i (absolute
+        # position offset+i) iff j <= offset+i.
+        q_pos = offset + jnp.arange(T_new)
+        mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, -jnp.inf).astype(
+            jnp.float32
+        )
+    else:
+        # Per-row positions: gather position embeddings and build a per-row
+        # causal mask (B, 1, T_new, Tmax).  Clamp the embedding index for
+        # finished rows parked at the context edge (their outputs are masked
+        # by the caller; the gather must still be in-bounds).
+        q_pos = offsets[:, None] + jnp.arange(T_new)[None, :]  # (B, T_new)
+        pos = params["pos_emb"][
+            jnp.minimum(q_pos, params["pos_emb"].shape[0] - 1)
+        ]
+        mask = jnp.where(
+            k_pos[None, None, :] <= q_pos[:, :, None], 0.0, -jnp.inf
+        ).astype(jnp.float32)[:, None]
+    x = (params["tok_emb"][tokens] + pos).astype(compute_dtype)
 
     # The layer loop is statically unrolled (not lax.scan), and the cache is
     # a list of PER-LAYER buffers: scanning over (or slicing) a stacked
@@ -673,12 +696,16 @@ def decoder_step(
         q = linear(xn, bp["attn"]["query"])
         k_new = linear(xn, bp["attn"]["key"])
         v_new = linear(xn, bp["attn"]["value"])
-        self_k[l] = jax.lax.dynamic_update_slice(
-            self_k[l], k_new, (zero, offset, zero)
-        )
-        self_v[l] = jax.lax.dynamic_update_slice(
-            self_v[l], v_new, (zero, offset, zero)
-        )
+        if offsets is None:
+            self_k[l] = jax.lax.dynamic_update_slice(
+                self_k[l], k_new, (zero, offset, zero)
+            )
+            self_v[l] = jax.lax.dynamic_update_slice(
+                self_v[l], v_new, (zero, offset, zero)
+            )
+        else:
+            self_k[l] = _rowwise_update(self_k[l], k_new, offsets)
+            self_v[l] = _rowwise_update(self_v[l], v_new, offsets)
         x = x + linear(
             attention(q, self_k[l], self_v[l], n_head, mask), bp["attn"]["out"]
         )
@@ -708,9 +735,20 @@ def decoder_step(
         **cache,
         "self_k": self_k,
         "self_v": self_v,
-        "idx": offset + T_new,
+        # With per-row offsets the caller tracks positions itself; the
+        # scalar idx is left untouched.
+        "idx": cache["idx"] if offsets is not None else offset + T_new,
     }
     return logits, new_cache
+
+
+def _rowwise_update(buf: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray):
+    """Write ``new`` (B, T_new, D) into ``buf`` (B, Tmax, D) at a PER-ROW
+    time offset (the speculative decode path's ragged cache append)."""
+    zero = jnp.zeros((), jnp.int32)
+    return jax.vmap(
+        lambda b, n, o: jax.lax.dynamic_update_slice(b, n, (o, zero))
+    )(buf, new, offsets)
 
 
 def decoder_apply_with_cross_qk(

@@ -269,7 +269,7 @@ def _decode_wav_bytes(data: bytes) -> np.ndarray:
 _FORWARDED_OPTIONS = (
     "language", "task", "beam_size", "patience", "best_of", "length_penalty",
     "suppress_tokens", "suppress_blank", "fp16", "kv_int8", "prompt_bucket",
-    "sample_len",
+    "sample_len", "draft",
 )
 
 
