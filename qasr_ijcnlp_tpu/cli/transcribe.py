@@ -82,11 +82,14 @@ def build_parser():
                    help="perf opt-in: int8-quantized cross-attention KV cache "
                         "(fused Pallas decode kernel; halves the dominant "
                         "decode HBM stream, logits perturbed ~1e-2)")
-    p.add_argument("--draft_model", type=valid_model_name, default=None,
+    p.add_argument("--draft_model", default=None,
+                   type=lambda n: n if n == "lookup" else valid_model_name(n),
                    help="perf opt-in: speculative greedy decoding — this "
                         "smaller model drafts tokens the main model verifies "
                         "in slab forwards (token-exact; greedy windows only, "
-                        "e.g. --draft_model tiny with --model small)")
+                        "e.g. --draft_model tiny with --model small); the "
+                        "special value 'lookup' drafts by copying earlier "
+                        "n-grams from the transcript instead of a model")
     p.add_argument("--draft_gamma", type=int, default=4,
                    help="tokens drafted per speculative round")
     p.add_argument("--prompt_bucket", type=optional_int, default=None,
@@ -135,7 +138,9 @@ def main(argv=None):
                 "speculative path to engage on beam-default windows"
             )
         args["draft"] = Draft(
-            load_model_with_fallback(draft_name), args.pop("draft_gamma")
+            None if draft_name == "lookup"
+            else load_model_with_fallback(draft_name),
+            args.pop("draft_gamma"),
         )
     else:
         args.pop("draft_gamma")

@@ -27,6 +27,11 @@ class Draft:
     """Handle pairing a DRAFT model with the speculation width ``gamma``
     for speculative greedy decoding (decode/speculative.py).
 
+    ``model=None`` selects model-free PROMPT-LOOKUP drafting: proposals are
+    copied from the row's own token history (prompt + committed tokens)
+    instead of a second model — zero extra weights, wins on repetitive
+    text, still token-exact.
+
     A plain class (identity hash/eq) rather than a dataclass so that a
     DecodingOptions carrying one stays hashable for the per-model task
     cache; two Draft objects are interchangeable only if they are the same
@@ -36,7 +41,7 @@ class Draft:
 
     __slots__ = ("model", "gamma")
 
-    def __init__(self, model, gamma: int = 4):
+    def __init__(self, model=None, gamma: int = 4):
         if gamma < 1:
             raise ValueError("draft gamma must be >= 1")
         self.model = model
@@ -300,7 +305,10 @@ class DecodingTask:
         )
 
         self.draft_cfg = None
-        if options.draft is not None:
+        self.use_lookup_draft = (
+            options.draft is not None and options.draft.model is None
+        )
+        if options.draft is not None and options.draft.model is not None:
             dd = options.draft.model.dims
             td = model_obj.dims
             if dd.n_vocab != td.n_vocab or dd.n_mels != td.n_mels:
@@ -518,27 +526,39 @@ class DecodingTask:
     def _run_greedy(self, audio_input, init_rep, fuse_encode: bool = False):
         n_rep = init_rep.shape[0]
         n_audio = n_rep // self.n_group
-        use_spec = (
-            self.draft_cfg is not None
-            and self.options.temperature == 0
-            and self.n_group == 1
-            # The draft needs its own encoder features, so the input must be
-            # the mel (the language-detection path pre-encodes the target's
-            # features and falls back to plain greedy here).
-            and fuse_encode
-        )
-        if use_spec:
-            from .speculative import spec_greedy_decode
+        greedy = self.options.temperature == 0 and self.n_group == 1
+        # A model draft needs its own encoder features, so the input must be
+        # the mel (the language-detection path pre-encodes the target's
+        # features and falls back to plain greedy); lookup drafting has no
+        # second encoder and works on either input.
+        use_spec = self.draft_cfg is not None and greedy and fuse_encode
+        use_lookup = self.use_lookup_draft and greedy
+        if use_spec or use_lookup:
+            from .speculative import lookup_greedy_decode, spec_greedy_decode
 
-            buf, cur_len, sum_lp, no_speech, xa, rounds = spec_greedy_decode(
-                self.model.params,
-                self.options.draft.model.params,
-                self.loop_cfg,
-                self.draft_cfg,
-                audio_input,
-                jnp.asarray(init_rep),
-                gamma=self.options.draft.gamma,
-            )
+            if use_lookup:
+                buf, cur_len, sum_lp, no_speech, xa, rounds = (
+                    lookup_greedy_decode(
+                        self.model.params,
+                        self.loop_cfg,
+                        audio_input,
+                        jnp.asarray(init_rep),
+                        gamma=self.options.draft.gamma,
+                        encode=fuse_encode,
+                    )
+                )
+            else:
+                buf, cur_len, sum_lp, no_speech, xa, rounds = (
+                    spec_greedy_decode(
+                        self.model.params,
+                        self.options.draft.model.params,
+                        self.loop_cfg,
+                        self.draft_cfg,
+                        audio_input,
+                        jnp.asarray(init_rep),
+                        gamma=self.options.draft.gamma,
+                    )
+                )
             buf, sum_lp, no_speech, rounds = jax.device_get(
                 (buf, sum_lp, no_speech, rounds)
             )

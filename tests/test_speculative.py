@@ -324,3 +324,93 @@ def test_transcribe_threads_draft_exactly():
     assert [s["tokens"] for s in spec["segments"]] == [
         s["tokens"] for s in base["segments"]
     ]
+
+
+class TestLookupDraft:
+    """Model-free prompt-lookup drafting (Draft(None)): same exactness
+    contract, zero extra weights."""
+
+    @pytest.fixture(scope="class")
+    def target(self):
+        from qasr_ijcnlp_tpu.models import WhisperModel
+
+        return WhisperModel(
+            init_params(jax.random.PRNGKey(7), DIMS), DIMS, name="target"
+        )
+
+    def _mel(self, batch, seed):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(
+            (batch, 80, DIMS.n_audio_ctx * 2)
+        ).astype(np.float32)
+
+    @pytest.mark.parametrize("gamma", [1, 3])
+    def test_lookup_exact(self, target, gamma):
+        from qasr_ijcnlp_tpu.decode import DecodingOptions, Draft, decode
+
+        mel = self._mel(3, 31)
+        base = decode(
+            target, mel, DecodingOptions(fp16=False, language="en")
+        )
+        spec = decode(
+            target, mel,
+            DecodingOptions(
+                fp16=False, language="en", draft=Draft(None, gamma=gamma)
+            ),
+        )
+        for b, s in zip(base, spec):
+            assert list(s.tokens) == list(b.tokens)
+            np.testing.assert_allclose(s.avg_logprob, b.avg_logprob, atol=1e-4)
+
+    def test_lookup_accelerates_repetitive_rows(self, target):
+        """Random-weight greedy decodes loop on repeated n-grams — exactly
+        the case lookup drafting must exploit: fewer verify rounds than
+        emitted tokens."""
+        from qasr_ijcnlp_tpu.decode import (
+            DecodingOptions, Draft, _get_task, decode,
+        )
+
+        mel = self._mel(2, 33)
+        opts = DecodingOptions(
+            fp16=False, language="en", draft=Draft(None, gamma=4),
+            sample_len=32,
+        )
+        res = decode(target, mel, opts)
+        task = _get_task(target, opts)
+        n_toks = max(len(r.tokens) for r in res) + 1
+        assert task.last_spec_rounds is not None and task.last_spec_rounds > 0
+        if n_toks >= 24:  # long, looping output: copying must pay off
+            assert task.last_spec_rounds < n_toks, (
+                task.last_spec_rounds, n_toks,
+            )
+
+    def test_lookup_propose_copies_after_bigram(self):
+        from qasr_ijcnlp_tpu.decode.speculative import _lookup_propose
+
+        # row 0: ... 5 6 7 8 ... anchor=5 prev=4 at f=8 with earlier
+        # "4 5 6 7" at 1..4 -> proposals copy 6 7 8
+        buf = jnp.asarray(
+            [[9, 4, 5, 6, 7, 8, 3, 4, 5, 0, 0, 0]], jnp.int32
+        )
+        f = jnp.asarray([8], jnp.int32)
+        anchor = jnp.asarray([5], jnp.int32)
+        prev = jnp.asarray([4], jnp.int32)
+        props = _lookup_propose(buf, f, anchor, prev, 3)
+        got = [int(p[0]) for p in props]
+        assert got == [6, 7, 8], got
+
+    def test_lookup_propose_fallbacks(self):
+        from qasr_ijcnlp_tpu.decode.speculative import _lookup_propose
+
+        # no bigram match, unigram match at 2 -> copies from 3
+        buf = jnp.asarray([[9, 1, 5, 6, 7, 8, 2, 3, 5, 0, 0, 0]], jnp.int32)
+        props = _lookup_propose(
+            buf, jnp.asarray([8]), jnp.asarray([5]), jnp.asarray([3]), 2
+        )
+        assert [int(p[0]) for p in props] == [6, 7]
+        # no match at all -> repeats the anchor
+        buf2 = jnp.asarray([[9, 1, 2, 3, 4, 0, 0, 0]], jnp.int32)
+        props2 = _lookup_propose(
+            buf2, jnp.asarray([4]), jnp.asarray([4]), jnp.asarray([3]), 2
+        )
+        assert [int(p[0]) for p in props2] == [4, 4]
