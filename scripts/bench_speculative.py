@@ -78,6 +78,8 @@ def main():
     opts_weak = DecodingOptions(**base, draft=Draft(draft, gamma=g))
     opts_self = DecodingOptions(**base, draft=Draft(target, gamma=g))
 
+    opts_lookup = DecodingOptions(**base, draft=Draft(None, gamma=g))
+
     def run(model, opts):
         return decode(model, mel, opts)
 
@@ -87,6 +89,8 @@ def main():
     rounds_weak = _get_task(target, opts_weak).last_spec_rounds
     t_self = _time(lambda: run(target, opts_self))
     rounds_self = _get_task(target, opts_self).last_spec_rounds
+    t_lookup = _time(lambda: run(target, opts_lookup))
+    rounds_lookup = _get_task(target, opts_lookup).last_spec_rounds
 
     # per-token / per-round costs (sample_len tokens decoded per row batch;
     # encoder + prompt cost is shared and small at this length)
@@ -107,8 +111,10 @@ def main():
         "draft_greedy_s": round(t_draft_greedy, 4),
         "spec_weak_s": round(t_weak, 4),
         "spec_self_s": round(t_self, 4),
+        "spec_lookup_s": round(t_lookup, 4),
         "rounds_weak": rounds_weak,
         "rounds_self": rounds_self,
+        "rounds_lookup": rounds_lookup,
         "t_tok_ms": round(t_tok * 1e3, 3),
         "t_tok_draft_ms": round(t_tok_d * 1e3, 3),
         "t_slab_ms": round(t_slab * 1e3, 3),
