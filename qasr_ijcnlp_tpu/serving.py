@@ -29,7 +29,7 @@ import queue
 import threading
 import wave
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,51 @@ import numpy as np
 
 from .audio import log_mel_spectrogram, pad_or_trim
 from .decode import DecodingOptions, decode
+
+
+class ServerMetrics:
+    """Thread-safe counters for the serving process, rendered in the
+    Prometheus text exposition format at ``GET /metrics``.
+
+    Dependency-free observability (SURVEY.md §5 metrics/logging): request
+    and error counts per route, end-to-end latency sums/max (rate() and
+    averages are the scraper's job), micro-batch occupancy, and processed
+    audio seconds — the numbers needed to alert on saturation (occupancy ->
+    batch_size) and latency regressions.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counters: Dict[str, float] = {}
+
+    def inc(self, name: str, value: float = 1.0):
+        with self._lock:
+            self._counters[name] = self._counters.get(name, 0.0) + value
+
+    def set_max(self, name: str, value: float):
+        with self._lock:
+            if value > self._counters.get(name, 0.0):
+                self._counters[name] = value
+
+    def observe_request(self, route: str, seconds: float, error: bool):
+        self.inc(f'requests_total{{route="{route}"}}')
+        if error:
+            self.inc(f'errors_total{{route="{route}"}}')
+        self.inc(f'request_seconds_sum{{route="{route}"}}', seconds)
+        self.set_max(f'request_seconds_max{{route="{route}"}}', seconds)
+
+    def observe_batch(self, size: int, capacity: int, seconds: float):
+        self.inc("batches_total")
+        self.inc("batched_requests_total", size)
+        self.inc("batch_slots_total", capacity)
+        self.inc("batch_seconds_sum", seconds)
+
+    def render(self) -> str:
+        with self._lock:
+            items = sorted(self._counters.items())
+        return "".join(
+            f"qasr_{name} {value:g}\n" for name, value in items
+        )
 
 
 @dataclass
@@ -59,6 +104,7 @@ class BatchingTranscriber:
         options: Optional[DecodingOptions] = None,
         workers: int = 1,
         mesh=None,
+        metrics: Optional[ServerMetrics] = None,
     ):
         # workers=2 pipelines the host->device upload of one micro-batch
         # under the device compute of the previous one (~15% throughput on a
@@ -79,6 +125,7 @@ class BatchingTranscriber:
             model.shard(self.mesh)
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1e3
+        self.metrics = metrics or ServerMetrics()
         # Default language matches the long-form route: auto-detect on
         # multilingual models (language=None), English on *.en models — so
         # the same clip transcribes the same whether it is 20 s
@@ -203,10 +250,13 @@ class BatchingTranscriber:
         return batch
 
     def _run(self):
+        import time
+
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
+            t0 = time.perf_counter()
             try:
                 from .data.loader import pad_batch_to
 
@@ -233,7 +283,11 @@ class BatchingTranscriber:
                         "language": r.language,
                     }
                     p.event.set()
+                self.metrics.observe_batch(
+                    len(batch), self.batch_size, time.perf_counter() - t0
+                )
             except Exception as e:  # propagate per-request
+                self.metrics.inc("batch_errors_total")
                 for p in batch:
                     if p.event.is_set():
                         continue  # already answered before the failure
@@ -335,6 +389,15 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "model": transcriber.model.name})
+            elif self.path == "/metrics":
+                body = transcriber.metrics.render().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "not found"})
 
@@ -347,11 +410,16 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             return _decode_wav_bytes(data)
 
         def do_POST(self):
+            import time
+
             url = urlparse(self.path)
             query = parse_qs(url.query)
+            metrics = transcriber.metrics
             if url.path == "/v1/transcribe":
+                t0, route, failed = time.perf_counter(), "transcribe", False
                 try:
                     audio = self._read_audio()
+                    metrics.inc("audio_seconds_total", len(audio) / 16000.0)
                     force_long = (
                         query.get("long", ["0"])[0] in ("1", "true")
                         or query.get("word_timestamps", ["0"])[0]
@@ -359,6 +427,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                         or "batch_windows" in query
                     )
                     if force_long or len(audio) > 30 * 16000:
+                        route = "transcribe_long"
                         with long_lock:
                             result = _long_transcribe(
                                 transcriber.model, audio,
@@ -368,12 +437,21 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     else:
                         self._send(200, transcriber.transcribe(audio))
                 except Exception as e:
+                    failed = True
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                metrics.observe_request(
+                    route, time.perf_counter() - t0, failed
+                )
             elif url.path == "/v1/transcribe/stream":
+                t0 = time.perf_counter()
                 try:
                     audio = self._read_audio()
+                    metrics.inc("audio_seconds_total", len(audio) / 16000.0)
                 except Exception as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    metrics.observe_request(
+                        "stream", time.perf_counter() - t0, True
+                    )
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
@@ -417,15 +495,21 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
 
                 worker = threading.Thread(target=run, daemon=True)
                 worker.start()
+                failed = False
                 try:
                     while (obj := chunks.get()) is not None:
+                        failed = failed or "error" in obj
                         emit(obj)
                     self.wfile.write(b"0\r\n\r\n")
                 except OSError:
                     # Client went away mid-stream; let the decode finish and
                     # discard the rest.
+                    failed = True
                     while chunks.get() is not None:
                         pass
+                metrics.observe_request(
+                    "stream", time.perf_counter() - t0, failed
+                )
             else:
                 self._send(404, {"error": "not found"})
 

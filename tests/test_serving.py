@@ -396,3 +396,58 @@ def test_wav_mono16k_int16_passthrough_and_parity(service):
     via_float = service.transcribe(pcm.astype(np.float32) / 32768.0)
     assert via_int16["tokens"] == via_float["tokens"]
     assert via_int16["text"] == via_float["text"]
+
+
+def test_metrics_endpoint(small_model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False,
+        options=DecodingOptions(language="en", without_timestamps=True,
+                                sample_len=4),
+    )
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe",
+            data=json.dumps({"audio": _audio(seed=5).tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            json.load(r)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        metrics = {}
+        for line in body.strip().splitlines():
+            name, value = line.rsplit(" ", 1)
+            metrics[name] = float(value)
+        assert metrics['qasr_requests_total{route="transcribe"}'] >= 1
+        assert metrics["qasr_batches_total"] >= 1
+        assert metrics["qasr_batched_requests_total"] >= 1
+        assert metrics["qasr_audio_seconds_total"] > 0
+        assert metrics['qasr_request_seconds_sum{route="transcribe"}'] > 0
+        assert 'qasr_errors_total{route="transcribe"}' not in metrics
+
+        # a malformed request shows up as an error, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe",
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            body = r.read().decode()
+        assert 'qasr_errors_total{route="transcribe"} 1' in body
+    finally:
+        server.shutdown()
+        transcriber.close()
