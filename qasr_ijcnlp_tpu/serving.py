@@ -355,11 +355,17 @@ def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
 def serve(model, host: str = "127.0.0.1", port: int = 8077,
           batch_size: int = 16, max_wait_ms: float = 25.0,
           options: Optional[DecodingOptions] = None, block: bool = True,
-          mesh=None):
+          mesh=None, engine_slots: Optional[int] = None):
     """Start the HTTP transcription service; returns (server, transcriber).
 
     ``mesh``: shard the micro-batches (and model params) across a device
-    mesh — data-parallel serving for multi-chip hosts."""
+    mesh — data-parallel serving for multi-chip hosts.
+
+    ``engine_slots``: route short (<=30 s) requests through the
+    continuous-batching DecodeEngine (decode/engine.py) with this many
+    slots instead of the stop-and-go micro-batcher — no head-of-line
+    blocking, mid-flight admission.  Greedy-only; requires a fixed
+    language ("en" assumed when the options don't set one)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -368,6 +374,19 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     transcriber = BatchingTranscriber(
         model, batch_size, max_wait_ms, options, mesh=mesh
     )
+    engine = None
+    if engine_slots:
+        from .decode import DecodingOptions as _Opts
+        from .decode.engine import DecodeEngine
+
+        eng_opts = options or transcriber.options
+        if eng_opts.language is None:
+            eng_opts = _Opts(**{
+                **eng_opts.__dict__, "language": "en",
+            })
+        engine = DecodeEngine(
+            model, eng_opts, slots=engine_slots, audio_frontend=True
+        )
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
     long_lock = threading.Lock()
@@ -434,6 +453,9 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                                 **_long_form_kwargs(options, query),
                             )
                         self._send(200, result)
+                    elif engine is not None:
+                        route = "transcribe_engine"
+                        self._send(200, engine.submit(audio))
                     else:
                         self._send(200, transcriber.transcribe(audio))
                 except Exception as e:
@@ -520,12 +542,15 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
         request_queue_size = 256
 
     server = Server((host, port), Handler)
+    server.engine = engine  # non-blocking callers close via server.engine
     if block:
         try:
             print(f"serving on http://{host}:{port} (batch={batch_size})")
             server.serve_forever()
         finally:
             transcriber.close()
+            if engine is not None:
+                engine.close()
     else:
         threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, transcriber
@@ -545,6 +570,10 @@ def main(argv=None):
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard micro-batches across all visible devices")
+    p.add_argument("--engine_slots", type=int, default=None,
+                   help="Route short requests through the continuous-"
+                        "batching DecodeEngine with this many slots "
+                        "(no head-of-line blocking; greedy-only)")
     args = p.parse_args(argv)
     resolve_device(args.device)
     model = load_model_with_fallback(args.model)
@@ -555,7 +584,7 @@ def main(argv=None):
         mesh = parallel.make_mesh(model_parallel=1)
         print(f"data-parallel serving over {mesh.devices.size} devices")
     serve(model, args.host, args.port, args.batch_size, args.max_wait_ms,
-          mesh=mesh)
+          mesh=mesh, engine_slots=args.engine_slots)
 
 
 if __name__ == "__main__":

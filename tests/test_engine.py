@@ -1,0 +1,130 @@
+"""Continuous-batching decode engine (decode/engine.py).
+
+Contract: every request's tokens equal the plain greedy decode of that
+request alone, regardless of what else shares the slot pool or when it was
+admitted.  Also exercises slot reuse (more requests than slots) and
+mid-flight admission.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from qasr_ijcnlp_tpu.models import ModelDimensions, WhisperModel
+from qasr_ijcnlp_tpu.models.whisper import init_params
+
+DIMS = ModelDimensions(
+    n_mels=80, n_audio_ctx=50, n_audio_state=64, n_audio_head=2,
+    n_audio_layer=2, n_vocab=51865, n_text_ctx=48, n_text_state=64,
+    n_text_head=2, n_text_layer=2,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return WhisperModel(
+        init_params(jax.random.PRNGKey(7), DIMS), DIMS, name="engine-test"
+    )
+
+
+def _mel(seed):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((80, DIMS.n_audio_ctx * 2)).astype(np.float32)
+
+
+def _reference_tokens(model, seeds, **opts):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+
+    mels = np.stack([_mel(s) for s in seeds])
+    results = decode(
+        model, mels,
+        DecodingOptions(fp16=False, language="en", **opts),
+    )
+    return {s: list(r.tokens) for s, r in zip(seeds, results)}
+
+
+def test_engine_matches_plain_greedy(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    seeds = [11, 12, 13, 14, 15]
+    # per-request reference: decode each alone (batch of 1)
+    expected = {}
+    for s in seeds:
+        expected.update(_reference_tokens(model, [s], sample_len=16))
+
+    engine = DecodeEngine(
+        model,
+        DecodingOptions(fp16=False, language="en", sample_len=16),
+        slots=3, unroll=2, admit_width=2,
+    )
+    try:
+        results = {}
+        errors = []
+
+        def worker(s):
+            try:
+                results[s] = engine.submit(_mel(s), timeout=300)
+            except Exception as e:  # noqa: BLE001
+                errors.append((s, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in seeds
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for s in seeds:
+            assert results[s]["tokens"] == expected[s], s
+            assert isinstance(results[s]["text"], str)
+        # 5 requests through 3 slots with admit_width 2 cannot fit in one
+        # admission: mid-flight admission must have happened
+        assert engine.admit_calls >= 2
+    finally:
+        engine.close()
+
+
+def test_engine_slot_reuse_sequential(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    engine = DecodeEngine(
+        model,
+        DecodingOptions(fp16=False, language="en", sample_len=10),
+        slots=2, unroll=2, admit_width=1,
+    )
+    try:
+        for s in (21, 22, 23, 24):
+            expected = _reference_tokens(model, [s], sample_len=10)[s]
+            out = engine.submit(_mel(s), timeout=300)
+            assert out["tokens"] == expected, s
+    finally:
+        engine.close()
+
+
+def test_engine_rejects_non_greedy(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    with pytest.raises(ValueError, match="greedy-only"):
+        DecodeEngine(
+            model, DecodingOptions(language="en", temperature=0.5)
+        )
+
+
+def test_engine_close_fails_queued(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    engine = DecodeEngine(
+        model, DecodingOptions(fp16=False, language="en", sample_len=8),
+        slots=1,
+    )
+    engine.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.submit(_mel(30))

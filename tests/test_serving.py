@@ -451,3 +451,56 @@ def test_metrics_endpoint(small_model):
     finally:
         server.shutdown()
         transcriber.close()
+
+
+def test_engine_route_parity_with_microbatcher(small_model):
+    """serve(engine_slots=N) routes short requests through the continuous-
+    batching DecodeEngine; tokens must match the micro-batcher's greedy
+    decode of the same audio exactly (same filtered-argmax progression)."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    opts = DecodingOptions(language="en", without_timestamps=True,
+                           sample_len=4)
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False, options=opts,
+        engine_slots=2,
+    )
+    port = server.server_address[1]
+    try:
+        expected = {
+            seed: transcriber.transcribe(_audio(seed=seed))["tokens"]
+            for seed in (41, 42, 43)
+        }
+        results = {}
+
+        def worker(seed):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/transcribe",
+                data=json.dumps(
+                    {"audio": _audio(seed=seed).tolist()}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[seed] = json.load(r)
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in expected
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for seed, exp in expected.items():
+            assert results[seed]["tokens"] == exp, seed
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            body = r.read().decode()
+        assert 'qasr_requests_total{route="transcribe_engine"} 3' in body
+    finally:
+        server.shutdown()
+        transcriber.close()
+        server.engine.close()
