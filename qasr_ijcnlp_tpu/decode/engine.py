@@ -18,7 +18,9 @@ this is a beyond-reference capability.
 
 Exactness: each request's tokens equal the plain greedy decode of that
 request alone — the engine runs the same filtered-argmax progression with
-per-row filter state; only scheduling differs.
+per-row filter state; only scheduling differs.  With ``language=None`` on
+a multilingual model, admission also runs the reference's language-id
+protocol (one sot forward) per request inside the same program.
 
 Trade-off vs the jitted while_loop decode: the loop is host-driven (one
 dispatch + one small fetch per ``unroll`` tokens), costing tunnel latency
@@ -59,6 +61,7 @@ class _EngineState(NamedTuple):
     max_ts: jnp.ndarray
     sum_lp: jnp.ndarray
     no_speech: jnp.ndarray  # (B,) prob captured at admit
+    lang: jnp.ndarray  # (B,) detected language token (-1 = fixed language)
 
 
 def _cache_of(state: _EngineState) -> Dict:
@@ -124,7 +127,9 @@ def _engine_step(params, cfg: LoopConfig, state: _EngineState, unroll: int):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "tmax", "audio_frontend"))
+@partial(
+    jax.jit, static_argnames=("cfg", "tmax", "audio_frontend", "detect")
+)
 def _engine_admit(
     params, cfg: LoopConfig, state: _EngineState,
     slot_ids: jnp.ndarray,  # (A,) int32 — duplicates allowed ONLY as
@@ -136,6 +141,8 @@ def _engine_admit(
     tmax: int,
     scales: Optional[jnp.ndarray] = None,  # (A,) int16 dequant factors
     audio_frontend: bool = False,
+    lang_mask: Optional[jnp.ndarray] = None,  # (n_vocab,) bool
+    detect: bool = False,
 ):
     """Encode + prompt-pass A requests and scatter them into their slots.
 
@@ -151,6 +158,21 @@ def _engine_admit(
             mels.astype(jnp.float32) * scales[:, None], cfg.dims.n_mels
         )
     xa = _encode_audio(params, mels, cfg)
+    if detect:
+        # Per-request language id, same program: one sot-token decoder
+        # forward (reference protocol, whisper/decoding.py:18-77) picks the
+        # language token, which then overwrites the language slot of this
+        # row's prompt before the prompt pass below.
+        sot_tok = init_tokens[:, cfg.sot_index: cfg.sot_index + 1]
+        lang_logits = model.decoder_apply(
+            params["decoder"], sot_tok, xa, cfg.dims, dt
+        )[:, 0].astype(jnp.float32)
+        lang_tok = jnp.argmax(
+            jnp.where(lang_mask, lang_logits, -jnp.inf), axis=-1
+        ).astype(jnp.int32)
+        init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
+    else:
+        lang_tok = jnp.full((A,), -1, jnp.int32)
     sub = model.init_kv_cache(cfg.dims, A, dt, ctx=tmax)
     sub = model.precompute_cross_kv(
         params["decoder"], xa, sub, n_head=cfg.dims.n_text_head
@@ -206,6 +228,7 @@ def _engine_admit(
         ),
         sum_lp=state.sum_lp.at[ids].set(lp0),
         no_speech=state.no_speech.at[ids].set(no_speech),
+        lang=state.lang.at[ids].set(lang_tok),
     )
 
 
@@ -238,14 +261,19 @@ class DecodeEngine:
         submit() takes a precomputed (n_mels, T) mel."""
         from . import DecodingOptions, DecodingTask
 
+        from dataclasses import replace
+
         options = options or DecodingOptions(
             language="en", without_timestamps=True
         )
+        self._detect = False
         if options.language is None:
-            raise ValueError(
-                "DecodeEngine needs a fixed language (its slot prompts are "
-                "built once); pass DecodingOptions(language=...)"
-            )
+            # Multilingual models get per-request language id inside the
+            # admission program ("en" below is only the placeholder the
+            # prompt is built around); English-only vocabularies have no
+            # language slot and simply decode as English.
+            self._detect = model_obj.is_multilingual
+            options = replace(options, language="en")
         if options.temperature != 0 or options.beam_size or options.best_of:
             raise ValueError("DecodeEngine is greedy-only (temperature 0)")
         if options.kv_int8:
@@ -263,6 +291,19 @@ class DecodeEngine:
         self.admit_width = min(admit_width, slots)
         self.admit_calls = 0  # diagnostic: distinct admission dispatches
         self.audio_frontend = audio_frontend
+        if self._detect:
+            mask = np.zeros(model_obj.dims.n_vocab, bool)
+            mask[list(self.tokenizer.all_language_tokens)] = True
+            self._lang_mask = jnp.asarray(mask)
+            self._lang_codes = dict(
+                zip(
+                    self.tokenizer.all_language_tokens,
+                    self.tokenizer.all_language_codes,
+                )
+            )
+        else:
+            self._lang_mask = None
+            self._lang_codes = {}
 
         dims = model_obj.dims
         dt = jnp.dtype(self.cfg.compute_dtype)
@@ -284,6 +325,7 @@ class DecodeEngine:
             max_ts=jnp.zeros((slots,), jnp.int32),
             sum_lp=jnp.zeros((slots,), jnp.float32),
             no_speech=jnp.full((slots,), jnp.nan, jnp.float32),
+            lang=jnp.full((slots,), -1, jnp.int32),
         )
         self._init = np.asarray(task.initial_tokens, np.int32)
         self._occupant: List[Optional[_Request]] = [None] * slots
@@ -386,6 +428,7 @@ class DecodeEngine:
                 jnp.asarray(sids), jnp.asarray(payloads), jnp.asarray(init),
                 tmax=self.tmax, scales=jnp.asarray(scales),
                 audio_frontend=self.audio_frontend,
+                lang_mask=self._lang_mask, detect=self._detect,
             )
             self.admit_calls += 1
             for slot, req in zip(ids, take):
@@ -401,10 +444,11 @@ class DecodeEngine:
         ]
         if not done:
             return
-        buf, sum_lp, no_speech = jax.device_get(
+        buf, sum_lp, no_speech, lang = jax.device_get(
             (self.state.buf[jnp.asarray(done)],
              self.state.sum_lp[jnp.asarray(done)],
-             self.state.no_speech[jnp.asarray(done)])
+             self.state.no_speech[jnp.asarray(done)],
+             self.state.lang[jnp.asarray(done)])
         )
         eot = self.cfg.eot
         sb = self.cfg.sample_begin
@@ -419,7 +463,9 @@ class DecodeEngine:
                 "tokens": [int(t) for t in ids],
                 "avg_logprob": float(sum_lp[row]) / (len(ids) + 1),
                 "no_speech_prob": float(no_speech[row]),
-                "language": self.task.options.language or "en",
+                "language": self._lang_codes.get(
+                    int(lang[row]), self.task.options.language or "en"
+                ),
             }
             req.event.set()
             self._occupant[slot] = None

@@ -364,8 +364,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     ``engine_slots``: route short (<=30 s) requests through the
     continuous-batching DecodeEngine (decode/engine.py) with this many
     slots instead of the stop-and-go micro-batcher — no head-of-line
-    blocking, mid-flight admission.  Greedy-only; requires a fixed
-    language ("en" assumed when the options don't set one)."""
+    blocking, mid-flight admission.  Greedy-only; multilingual models get
+    per-request language detection when the options leave language unset."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
@@ -376,16 +376,11 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     )
     engine = None
     if engine_slots:
-        from .decode import DecodingOptions as _Opts
         from .decode.engine import DecodeEngine
 
-        eng_opts = options or transcriber.options
-        if eng_opts.language is None:
-            eng_opts = _Opts(**{
-                **eng_opts.__dict__, "language": "en",
-            })
         engine = DecodeEngine(
-            model, eng_opts, slots=engine_slots, audio_frontend=True
+            model, options or transcriber.options, slots=engine_slots,
+            audio_frontend=True,
         )
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.

@@ -128,3 +128,33 @@ def test_engine_close_fails_queued(model):
     engine.close()
     with pytest.raises(RuntimeError, match="closed"):
         engine.submit(_mel(30))
+
+
+def test_engine_language_autodetect_parity(model):
+    """language=None on a multilingual model: the engine runs the reference
+    language-id protocol per request at admission; tokens AND the reported
+    language must match decode(language=None) on the same mel."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    seeds = [31, 32, 33]
+    expected = {}
+    for s in seeds:
+        (r,) = decode(
+            model, np.stack([_mel(s)]),
+            DecodingOptions(fp16=False, language=None, sample_len=8),
+        )
+        expected[s] = (list(r.tokens), r.language)
+
+    engine = DecodeEngine(
+        model, DecodingOptions(fp16=False, language=None, sample_len=8),
+        slots=2, unroll=2, admit_width=2,
+    )
+    assert engine._detect
+    try:
+        for s in seeds:
+            out = engine.submit(_mel(s), timeout=300)
+            assert out["tokens"] == expected[s][0], s
+            assert out["language"] == expected[s][1], s
+    finally:
+        engine.close()
