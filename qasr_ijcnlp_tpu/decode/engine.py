@@ -444,27 +444,28 @@ class DecodeEngine:
         ]
         if not done:
             return
+        # Fetch the whole (small) metadata arrays: gathering just the done
+        # rows with device indexing would compile a new gather per distinct
+        # len(done).
         buf, sum_lp, no_speech, lang = jax.device_get(
-            (self.state.buf[jnp.asarray(done)],
-             self.state.sum_lp[jnp.asarray(done)],
-             self.state.no_speech[jnp.asarray(done)],
-             self.state.lang[jnp.asarray(done)])
+            (self.state.buf, self.state.sum_lp, self.state.no_speech,
+             self.state.lang)
         )
         eot = self.cfg.eot
         sb = self.cfg.sample_begin
-        for row, (slot, toks) in enumerate(zip(done, buf)):
+        for slot in done:
             req = self._occupant[slot]
-            s = np.asarray(toks)[sb: int(cur[slot])]
+            s = np.asarray(buf[slot])[sb: int(cur[slot])]
             hits = np.nonzero(s == eot)[0]
             ids = s[: hits[0]].tolist() if hits.size else s.tolist()
             text = self.tokenizer.decode(ids).strip()
             req.result = {
                 "text": text,
                 "tokens": [int(t) for t in ids],
-                "avg_logprob": float(sum_lp[row]) / (len(ids) + 1),
-                "no_speech_prob": float(no_speech[row]),
+                "avg_logprob": float(sum_lp[slot]) / (len(ids) + 1),
+                "no_speech_prob": float(no_speech[slot]),
                 "language": self._lang_codes.get(
-                    int(lang[row]), self.task.options.language or "en"
+                    int(lang[slot]), self.task.options.language or "en"
                 ),
             }
             req.event.set()
