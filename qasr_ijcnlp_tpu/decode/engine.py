@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from ..models import whisper as model
 from .loop import LoopConfig, _encode_audio, _logits_dtype
-from .speculative import _argmax_commit
+from .speculative import _argmax_commit, _lookup_propose, _verify_chain
 
 
 class _EngineState(NamedTuple):
@@ -74,10 +74,14 @@ def _cache_of(state: _EngineState) -> Dict:
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "unroll"))
-def _engine_step(params, cfg: LoopConfig, state: _EngineState, unroll: int):
-    """Advance every slot by up to ``unroll`` tokens (finished slots are
-    inert).  One dispatch for the whole block."""
+@partial(jax.jit, static_argnames=("cfg", "unroll", "gamma"))
+def _engine_step(
+    params, cfg: LoopConfig, state: _EngineState, unroll: int,
+    gamma: int = 0,
+):
+    """Advance every slot by up to ``unroll`` tokens — or, with ``gamma``,
+    by ``unroll`` lookup-speculative rounds of 1..gamma+1 commits each
+    (finished slots are inert).  One dispatch for the whole block."""
     dt = jnp.dtype(cfg.compute_dtype)
     n_ctx = cfg.dims.n_text_ctx
     cache = _cache_of(state)
@@ -87,6 +91,27 @@ def _engine_step(params, cfg: LoopConfig, state: _EngineState, unroll: int):
     sum_lp = state.sum_lp
     for _ in range(unroll):
         feed_at = jnp.maximum(cur - 1, 0)
+        if gamma:
+            # Prompt-lookup slab round (decode/speculative.py): propose from
+            # the row's own history, verify all proposals in one width-
+            # (gamma+1) forward, commit while they match the filtered argmax.
+            anchor = jnp.take_along_axis(buf, feed_at[:, None], axis=1)[:, 0]
+            props = _lookup_propose(buf, feed_at, anchor, prev, gamma)
+            slab = jnp.stack([anchor] + props, axis=1)
+            logits, cache = model.decoder_step(
+                params["decoder"], slab, cache, cfg.dims, dt,
+                logits_dtype=_logits_dtype(cfg), offsets=feed_at,
+            )
+            buf, cur, finished, sum_lp, last, prev, max_ts = _verify_chain(
+                cfg, logits, props, buf, cur, finished, sum_lp, last, prev,
+                max_ts,
+            )
+            # out-of-budget slots retire (the chain only sets finished on
+            # eot; mirror the greedy loop's cond)
+            finished = finished | ~(
+                (cur - cfg.sample_begin < cfg.sample_len) & (cur <= n_ctx)
+            )
+            continue
         tok = jnp.take_along_axis(buf, feed_at[:, None], axis=1)
         logits, cache = model.decoder_step(
             params["decoder"], tok, cache, cfg.dims, dt,
@@ -254,11 +279,16 @@ class DecodeEngine:
         unroll: int = 4,
         admit_width: int = 2,
         audio_frontend: bool = False,
+        lookup_gamma: int = 0,
     ):
         """``audio_frontend``: submit() takes RAW 16 kHz audio (padded to
         30 s, peak-quantized to int16 on the host) and the mel runs inside
         the admission program — the serving configuration.  Without it,
-        submit() takes a precomputed (n_mels, T) mel."""
+        submit() takes a precomputed (n_mels, T) mel.
+
+        ``lookup_gamma``: > 0 turns each step iteration into a prompt-lookup
+        speculative round — up to gamma+1 tokens commit per slot per
+        forward, still token-exact (decode/speculative.py)."""
         from . import DecodingOptions, DecodingTask
 
         from dataclasses import replace
@@ -305,9 +335,15 @@ class DecodeEngine:
             self._lang_mask = None
             self._lang_codes = {}
 
+        self.lookup_gamma = lookup_gamma
         dims = model_obj.dims
         dt = jnp.dtype(self.cfg.compute_dtype)
-        reach = task.sample_begin + task.sample_len + unroll + 1
+        # spec rounds write K/V up to anchor + gamma past the last
+        # committable position
+        reach = (
+            task.sample_begin + task.sample_len
+            + max(unroll, lookup_gamma + 1) + 1
+        )
         self.tmax = min(dims.n_text_ctx, (reach + 15) // 16 * 16)
         proto = model.init_kv_cache(dims, slots, dt, ctx=self.tmax)
         self.state = _EngineState(
@@ -485,7 +521,8 @@ class DecodeEngine:
                 self._admit_some()
                 if any(r is not None for r in self._occupant):
                     self.state = _engine_step(
-                        self.model.params, self.cfg, self.state, self.unroll
+                        self.model.params, self.cfg, self.state, self.unroll,
+                        gamma=self.lookup_gamma,
                     )
                     self._retire_finished()
             except Exception as e:  # fail live requests, keep serving

@@ -355,7 +355,8 @@ def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
 def serve(model, host: str = "127.0.0.1", port: int = 8077,
           batch_size: int = 16, max_wait_ms: float = 25.0,
           options: Optional[DecodingOptions] = None, block: bool = True,
-          mesh=None, engine_slots: Optional[int] = None):
+          mesh=None, engine_slots: Optional[int] = None,
+          engine_lookup_gamma: int = 0):
     """Start the HTTP transcription service; returns (server, transcriber).
 
     ``mesh``: shard the micro-batches (and model params) across a device
@@ -380,7 +381,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
 
         engine = DecodeEngine(
             model, options or transcriber.options, slots=engine_slots,
-            audio_frontend=True,
+            audio_frontend=True, lookup_gamma=engine_lookup_gamma,
         )
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
@@ -569,6 +570,10 @@ def main(argv=None):
                    help="Route short requests through the continuous-"
                         "batching DecodeEngine with this many slots "
                         "(no head-of-line blocking; greedy-only)")
+    p.add_argument("--engine_lookup_gamma", type=int, default=0,
+                   help="Prompt-lookup speculative rounds in the engine: "
+                        "up to gamma+1 tokens per slot per forward "
+                        "(token-exact)")
     args = p.parse_args(argv)
     resolve_device(args.device)
     model = load_model_with_fallback(args.model)
@@ -579,7 +584,8 @@ def main(argv=None):
         mesh = parallel.make_mesh(model_parallel=1)
         print(f"data-parallel serving over {mesh.devices.size} devices")
     serve(model, args.host, args.port, args.batch_size, args.max_wait_ms,
-          mesh=mesh, engine_slots=args.engine_slots)
+          mesh=mesh, engine_slots=args.engine_slots,
+          engine_lookup_gamma=args.engine_lookup_gamma)
 
 
 if __name__ == "__main__":

@@ -106,6 +106,12 @@ def main():
     run_load("engine", engine.submit, n_requests, rate, audio)
     engine.close()
 
+    spec = DecodeEngine(m, opts, slots=slots, unroll=2,
+                        admit_width=4, audio_frontend=True, lookup_gamma=4)
+    spec.submit(audio)  # warm / compile
+    run_load("engine+lookup", spec.submit, n_requests, rate, audio)
+    spec.close()
+
 
 if __name__ == "__main__":
     main()

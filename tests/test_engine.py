@@ -158,3 +158,44 @@ def test_engine_language_autodetect_parity(model):
             assert out["language"] == expected[s][1], s
     finally:
         engine.close()
+
+
+def test_engine_lookup_speculative_parity(model):
+    """lookup_gamma > 0: each step iteration is a prompt-lookup speculative
+    round (up to gamma+1 commits per forward); tokens stay exact vs plain
+    greedy through slot reuse and concurrent admission."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    seeds = [51, 52, 53, 54, 55]
+    expected = {}
+    for s in seeds:
+        expected.update(_reference_tokens(model, [s], sample_len=16))
+
+    engine = DecodeEngine(
+        model,
+        DecodingOptions(fp16=False, language="en", sample_len=16),
+        slots=3, unroll=2, admit_width=2, lookup_gamma=3,
+    )
+    try:
+        results = {}
+        errors = []
+
+        def worker(s):
+            try:
+                results[s] = engine.submit(_mel(s), timeout=300)
+            except Exception as e:  # noqa: BLE001
+                errors.append((s, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in seeds
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for s in seeds:
+            assert results[s]["tokens"] == expected[s], s
+    finally:
+        engine.close()
