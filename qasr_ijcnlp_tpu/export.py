@@ -1,0 +1,152 @@
+"""AOT deployment artifacts: serialize the fused greedy-decode program.
+
+``export_greedy_decode`` lowers the whole serving hot path — raw audio (or
+mel) → log-mel frontend → encoder → jitted greedy token loop — to ONE
+StableHLO program with the model weights baked in as constants, and
+``save_artifact``/``load_artifact`` wrap it in a single self-describing
+file (JSON metadata header + serialized payload).  A deployment host then
+needs jax (any platform the artifact was lowered for) but NOT this
+package's model code, checkpoints, or tokenizer assets to produce token
+ids; ``decode_artifact_tokens`` shows the 6-line post-processing (slice at
+``sample_begin``, cut at ``eot``).
+
+Cross-platform: pass ``platforms=("tpu", "cpu")`` to lower for TPU from a
+CPU-only build host (jax.export multi-platform lowering).  Pallas custom
+kernels are intentionally NOT stable across compiler versions, so the
+export path runs with the XLA-native ops (the kernels are runtime
+specializations, not semantics); this also keeps artifacts loadable on any
+platform.
+
+The reference has no deployment story at all (its decode requires the full
+PyTorch package + checkpoint download, /root/reference/whisper/__init__.py:
+103-161); this is a beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_MAGIC = b"QASRX001"
+
+
+def export_greedy_decode(
+    model_obj,
+    options=None,
+    batch: int = 8,
+    from_audio: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Lower the fused greedy decode to a ``jax.export.Exported`` + metadata.
+
+    ``from_audio``: the exported function takes (batch, 480000) float32 raw
+    16 kHz audio and runs the mel frontend inside the program; otherwise it
+    takes a (batch, n_mels, 3000) mel.  Returns ``(exported, meta)`` where
+    ``meta`` has everything the deployment side needs to slice tokens out
+    of the returned buffer.
+    """
+    from .audio import N_SAMPLES, log_mel_spectrogram
+    from .decode import DecodingOptions, DecodingTask
+    from .decode.loop import _greedy_decode_jit
+
+    options = options or DecodingOptions(
+        language="en", without_timestamps=True
+    )
+    if options.language is None:
+        raise ValueError(
+            "export needs a fixed language (the prompt is baked into the "
+            "program); pass DecodingOptions(language=...)"
+        )
+    if options.temperature != 0 or options.beam_size or options.best_of:
+        raise ValueError("export_greedy_decode is greedy-only")
+
+    task = DecodingTask(model_obj, options)
+    cfg = task.loop_cfg
+    dims = model_obj.dims
+    init = jnp.asarray(
+        np.tile(np.asarray(task.initial_tokens, np.int32), (batch, 1))
+    )
+    params = model_obj.params
+    rng = jax.random.PRNGKey(0)  # unused at temperature 0
+
+    def run(x):
+        mel = log_mel_spectrogram(x, dims.n_mels) if from_audio else x
+        buf, cur_len, sum_lp, no_speech, _xa = _greedy_decode_jit(
+            params, cfg, mel, init, rng, jnp.float32(0.0),
+            sample=False, encode=True,
+        )
+        return buf, cur_len, sum_lp, no_speech
+
+    if from_audio:
+        spec = jax.ShapeDtypeStruct((batch, N_SAMPLES), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((batch, dims.n_mels, 3000), jnp.float32)
+
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    exported = jax.export.export(jax.jit(run), **kwargs)(spec)
+
+    meta = {
+        "model": getattr(model_obj, "name", "?"),
+        "batch": batch,
+        "from_audio": from_audio,
+        "input_shape": list(spec.shape),
+        "sample_begin": task.sample_begin,
+        "eot": int(task.tokenizer.eot),
+        "language": options.language,
+        "task": options.task,
+        "platforms": list(exported.platforms),
+        "outputs": ["buf", "cur_len", "sum_logprobs", "no_speech_probs"],
+    }
+    return exported, meta
+
+
+def save_artifact(path: str, exported, meta: dict) -> None:
+    """One self-describing file: magic, u32 header length, JSON metadata,
+    serialized StableHLO payload (weights included as constants)."""
+    payload = exported.serialize()
+    head = json.dumps(meta).encode()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(np.uint32(len(head)).tobytes())
+        f.write(head)
+        f.write(payload)
+
+
+def load_artifact(path: str):
+    """Returns ``(call, meta)``; ``call`` runs on any platform the artifact
+    was lowered for."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[: len(_MAGIC)] != _MAGIC:
+        raise ValueError(f"{path} is not a qasr export artifact")
+    r = io.BytesIO(blob[len(_MAGIC):])
+    n = int(np.frombuffer(r.read(4), np.uint32)[0])
+    meta = json.loads(r.read(n).decode())
+    exported = jax.export.deserialize(bytearray(r.read()))
+    return exported.call, meta
+
+
+def decode_artifact_tokens(
+    buf: np.ndarray, cur_len: np.ndarray, meta: dict
+) -> Tuple[list, ...]:
+    """Slice per-row token ids out of an artifact's ``buf`` output (the
+    deployment-side post-processing; pair with any tiktoken-rank decoder
+    for text)."""
+    sb, eot = meta["sample_begin"], meta["eot"]
+    cur = np.asarray(cur_len)
+    if cur.ndim == 0:  # the greedy loop's position counter is lockstep
+        cur = np.full(np.asarray(buf).shape[0], int(cur))
+    out = []
+    for row, n in zip(np.asarray(buf), cur):
+        s = row[sb: int(n)]
+        hits = np.nonzero(s == eot)[0]
+        out.append((s[: hits[0]] if hits.size else s).tolist())
+    return tuple(out)
