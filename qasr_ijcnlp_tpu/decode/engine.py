@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import whisper as model
-from .loop import LoopConfig, _encode_audio, _logits_dtype
+from .loop import LoopConfig, _encode_audio, _logits_dtype, _prompt_pass
 from .speculative import _argmax_commit, _lookup_propose, _verify_chain
 
 
@@ -74,7 +74,9 @@ def _cache_of(state: _EngineState) -> Dict:
     }
 
 
-@partial(jax.jit, static_argnames=("cfg", "unroll", "gamma"))
+@partial(
+    jax.jit, static_argnames=("cfg", "unroll", "gamma"), donate_argnums=(2,)
+)
 def _engine_step(
     params, cfg: LoopConfig, state: _EngineState, unroll: int,
     gamma: int = 0,
@@ -153,7 +155,8 @@ def _engine_step(
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "tmax", "audio_frontend", "detect")
+    jax.jit, static_argnames=("cfg", "tmax", "audio_frontend", "detect"),
+    donate_argnums=(2,),  # the slot pool is always replaced by the result
 )
 def _engine_admit(
     params, cfg: LoopConfig, state: _EngineState,
@@ -198,26 +201,14 @@ def _engine_admit(
         init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
     else:
         lang_tok = jnp.full((A,), -1, jnp.int32)
-    sub = model.init_kv_cache(cfg.dims, A, dt, ctx=tmax)
-    sub = model.precompute_cross_kv(
-        params["decoder"], xa, sub, n_head=cfg.dims.n_text_head
+    sub, last_logits, no_speech = _prompt_pass(
+        params, cfg, xa, init_tokens, ctx=tmax
     )
-    logits_all, sub = model.decoder_step(
-        params["decoder"], init_tokens, sub, cfg.dims, dt,
-        logits_dtype=_logits_dtype(cfg),
-    )
-    if cfg.no_speech is not None:
-        probs_at_sot = jax.nn.softmax(
-            logits_all[:, cfg.sot_index].astype(jnp.float32), axis=-1
-        )
-        no_speech = probs_at_sot[:, cfg.no_speech]
-    else:
-        no_speech = jnp.full((A,), jnp.nan, jnp.float32)
 
     sb = jnp.asarray(cfg.sample_begin, jnp.int32)
     neg1 = jnp.full((A,), -1, jnp.int32)
     tok0, lp0 = _argmax_commit(
-        cfg, logits_all[:, -1].astype(jnp.float32), sb, neg1, neg1,
+        cfg, last_logits.astype(jnp.float32), sb, neg1, neg1,
         jnp.zeros((A,), jnp.int32),
     )
 
@@ -401,6 +392,10 @@ class DecodeEngine:
         else:
             req = _Request(payload=np.asarray(x, np.float32))
         with self._lock:
+            # under the same lock close() drains with: a request appended
+            # after the drain would otherwise hang its waiter
+            if self._stop.is_set():
+                raise RuntimeError("engine is closed")
             self._queue.append(req)
         self._wake.set()
         if not req.event.wait(timeout):
@@ -451,21 +446,31 @@ class DecodeEngine:
             # row (duplicate scatter indices with identical payloads agree)
             A = self.admit_width
             pad = A - len(take)
-            payloads = np.stack(
-                [r.payload for r in take] + [take[-1].payload] * pad
-            )
-            scales = np.asarray(
-                [r.scale for r in take] + [take[-1].scale] * pad, np.float32
-            )
-            sids = np.asarray(ids + [ids[-1]] * pad, np.int32)
-            init = np.tile(self._init, (A, 1))
-            self.state = _engine_admit(
-                self.model.params, self.cfg, self.state,
-                jnp.asarray(sids), jnp.asarray(payloads), jnp.asarray(init),
-                tmax=self.tmax, scales=jnp.asarray(scales),
-                audio_frontend=self.audio_frontend,
-                lang_mask=self._lang_mask, detect=self._detect,
-            )
+            try:
+                payloads = np.stack(
+                    [r.payload for r in take] + [take[-1].payload] * pad
+                )
+                scales = np.asarray(
+                    [r.scale for r in take] + [take[-1].scale] * pad,
+                    np.float32,
+                )
+                sids = np.asarray(ids + [ids[-1]] * pad, np.int32)
+                init = np.tile(self._init, (A, 1))
+                self.state = _engine_admit(
+                    self.model.params, self.cfg, self.state,
+                    jnp.asarray(sids), jnp.asarray(payloads),
+                    jnp.asarray(init),
+                    tmax=self.tmax, scales=jnp.asarray(scales),
+                    audio_frontend=self.audio_frontend,
+                    lang_mask=self._lang_mask, detect=self._detect,
+                )
+            except Exception as e:  # fail THESE requests (already dequeued:
+                # nobody else will ever wake them), keep the pool serving
+                msg = f"{type(e).__name__}: {e}"
+                for req in take:
+                    req.error = msg
+                    req.event.set()
+                return
             self.admit_calls += 1
             for slot, req in zip(ids, take):
                 self._occupant[slot] = req

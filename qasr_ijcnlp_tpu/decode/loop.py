@@ -74,7 +74,8 @@ def _encode_audio(params, mel, cfg: LoopConfig):
     )
 
 
-def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
+def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens,
+                 ctx: Optional[int] = None):
     """Encoder features -> cross-kv + prompt logits + no-speech probs.
 
     ``audio_features`` has one row per AUDIO; ``initial_tokens`` one row per
@@ -82,6 +83,9 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     per audio and shared across its group (models/whisper.py
     ``init_kv_cache``), so beam/best-of decode never replicates — or, each
     step, re-reads — G copies of the (L, Ta, D) cross cache.
+
+    ``ctx`` overrides the self-cache length (the decode engine sizes its
+    slot pool once for the whole pool's lifetime).
     """
     B = initial_tokens.shape[0]
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -90,8 +94,9 @@ def _prompt_pass(params, cfg: LoopConfig, audio_features, initial_tokens):
     # decode step streams the whole buffer, so unreachable positions are
     # pure waste (64-token decodes: a 128-row cache wastes 60% of the
     # self-KV stream vs the 80 rows actually reachable).
-    reach = cfg.sample_begin + cfg.sample_len + cfg.unroll + 1
-    ctx = min(cfg.dims.n_text_ctx, (reach + 15) // 16 * 16)
+    if ctx is None:
+        reach = cfg.sample_begin + cfg.sample_len + cfg.unroll + 1
+        ctx = min(cfg.dims.n_text_ctx, (reach + 15) // 16 * 16)
     cache = model.init_kv_cache(
         cfg.dims, B, dtype, cross_batch=audio_features.shape[0], ctx=ctx,
         cross_int8=cfg.kv_int8,

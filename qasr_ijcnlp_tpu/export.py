@@ -24,7 +24,6 @@ PyTorch package + checkpoint download, /root/reference/whisper/__init__.py:
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Optional, Sequence, Tuple
 
@@ -65,6 +64,11 @@ def export_greedy_decode(
         )
     if options.temperature != 0 or options.beam_size or options.best_of:
         raise ValueError("export_greedy_decode is greedy-only")
+    if getattr(options, "kv_int8", False):
+        raise ValueError(
+            "export does not support kv_int8 (its Pallas kernel is not a "
+            "stable custom call)"
+        )
 
     task = DecodingTask(model_obj, options)
     cfg = task.loop_cfg
@@ -91,7 +95,21 @@ def export_greedy_decode(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax.export.export(jax.jit(run), **kwargs)(spec)
+    # Pallas kernels lower to tpu_custom_call, which jax.export rejects (no
+    # stability guarantee across compiler versions); trace the XLA-native
+    # formulation — same semantics — and restore the ambient policy after.
+    from . import audio as _audio_mod
+    from .models import whisper as _whisper_mod
+
+    prev_flash = _whisper_mod._USE_FLASH
+    prev_mel = _audio_mod._USE_FUSED_MEL
+    _whisper_mod.set_flash_attention(False)
+    _audio_mod.set_fused_mel(False)
+    try:
+        exported = jax.export.export(jax.jit(run), **kwargs)(spec)
+    finally:
+        _whisper_mod.set_flash_attention(prev_flash)
+        _audio_mod.set_fused_mel(prev_mel)
 
     meta = {
         "model": getattr(model_obj, "name", "?"),
@@ -123,14 +141,14 @@ def save_artifact(path: str, exported, meta: dict) -> None:
 def load_artifact(path: str):
     """Returns ``(call, meta)``; ``call`` runs on any platform the artifact
     was lowered for."""
+    # Stream the sections (the payload embeds all model weights and can be
+    # GBs; slicing a whole-file read would hold several transient copies).
     with open(path, "rb") as f:
-        blob = f.read()
-    if blob[: len(_MAGIC)] != _MAGIC:
-        raise ValueError(f"{path} is not a qasr export artifact")
-    r = io.BytesIO(blob[len(_MAGIC):])
-    n = int(np.frombuffer(r.read(4), np.uint32)[0])
-    meta = json.loads(r.read(n).decode())
-    exported = jax.export.deserialize(bytearray(r.read()))
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f"{path} is not a qasr export artifact")
+        n = int(np.frombuffer(f.read(4), np.uint32)[0])
+        meta = json.loads(f.read(n).decode())
+        exported = jax.export.deserialize(bytearray(f.read()))
     return exported.call, meta
 
 

@@ -379,10 +379,16 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     if engine_slots:
         from .decode.engine import DecodeEngine
 
-        engine = DecodeEngine(
-            model, options or transcriber.options, slots=engine_slots,
-            audio_frontend=True, lookup_gamma=engine_lookup_gamma,
-        )
+        try:
+            engine = DecodeEngine(
+                model, options or transcriber.options, slots=engine_slots,
+                audio_frontend=True, lookup_gamma=engine_lookup_gamma,
+            )
+        except Exception:
+            # don't leak the already-started transcriber workers when the
+            # options are engine-incompatible (e.g. beam/temperature)
+            transcriber.close()
+            raise
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
     long_lock = threading.Lock()

@@ -199,3 +199,38 @@ def test_engine_lookup_speculative_parity(model):
             assert results[s]["tokens"] == expected[s], s
     finally:
         engine.close()
+
+
+def test_engine_admit_failure_fails_request_not_hangs(model):
+    """A bad payload (ragged mel) must fail THAT submit() promptly — the
+    requests were already dequeued, so nobody else would ever wake them —
+    and the pool must keep serving afterwards."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    engine = DecodeEngine(
+        model, DecodingOptions(fp16=False, language="en", sample_len=8),
+        slots=2, admit_width=1,
+    )
+    try:
+        with pytest.raises(RuntimeError):
+            engine.submit(
+                np.zeros((80, 7), np.float32), timeout=60
+            )  # wrong mel width -> admission raises
+        out = engine.submit(_mel(61), timeout=300)  # pool still serves
+        assert isinstance(out["tokens"], list)
+    finally:
+        engine.close()
+
+
+def test_engine_submit_after_close_race(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    engine = DecodeEngine(
+        model, DecodingOptions(fp16=False, language="en", sample_len=4),
+        slots=1,
+    )
+    engine.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.submit(_mel(62), timeout=30)

@@ -504,3 +504,29 @@ def test_engine_route_parity_with_microbatcher(small_model):
         server.shutdown()
         transcriber.close()
         server.engine.close()
+
+
+def test_serve_engine_ctor_failure_closes_transcriber(small_model):
+    """Engine-incompatible options must not leak the already-started
+    micro-batcher workers."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    with pytest.raises(ValueError, match="greedy-only"):
+        serve(
+            small_model, port=0, block=False,
+            options=DecodingOptions(language="en", temperature=0.7),
+            engine_slots=2,
+        )
+    # the transcriber the failed serve() started must be closed: no
+    # lingering non-daemon state; BatchingTranscriber sets _stop on close.
+    import gc
+
+    from qasr_ijcnlp_tpu.serving import BatchingTranscriber
+
+    leaked = [
+        t for t in gc.get_objects()
+        if isinstance(t, BatchingTranscriber) and not t._stop.is_set()
+        and t.model is small_model
+    ]
+    assert not leaked
