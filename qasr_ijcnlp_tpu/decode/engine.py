@@ -271,6 +271,7 @@ class DecodeEngine:
         admit_width: int = 2,
         audio_frontend: bool = False,
         lookup_gamma: int = 0,
+        mesh=None,
     ):
         """``audio_frontend``: submit() takes RAW 16 kHz audio (padded to
         30 s, peak-quantized to int16 on the host) and the mel runs inside
@@ -279,7 +280,11 @@ class DecodeEngine:
 
         ``lookup_gamma``: > 0 turns each step iteration into a prompt-lookup
         speculative round — up to gamma+1 tokens commit per slot per
-        forward, still token-exact (decode/speculative.py)."""
+        forward, still token-exact (decode/speculative.py).
+
+        ``mesh``: shard the slot pool (and the params, via model.shard)
+        along the mesh's data axis — data-parallel continuous batching for
+        multi-chip hosts.  ``slots`` must be a mesh-size multiple."""
         from . import DecodingOptions, DecodingTask
 
         from dataclasses import replace
@@ -302,6 +307,17 @@ class DecodeEngine:
                 "DecodeEngine does not support kv_int8 (the slot pool "
                 "scatters fp cross-KV rows)"
             )
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None:
+            ndata = self.mesh.shape["data"]
+            if slots % ndata:
+                raise ValueError(
+                    f"slots ({slots}) must be a multiple of the mesh's "
+                    f"data axis ({ndata})"
+                )
+            # Params go on the mesh (TP/replicated specs) and the model
+            # pins it, so the DecodingTask below builds mesh-aware programs.
+            model_obj.shard(self.mesh)
         self.model = model_obj
         task = DecodingTask(model_obj, options)
         self.task = task
@@ -354,6 +370,13 @@ class DecodeEngine:
             no_speech=jnp.full((slots,), jnp.nan, jnp.float32),
             lang=jnp.full((slots,), -1, jnp.int32),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            s = NamedSharding(self.mesh, PartitionSpec("data"))
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, s), self.state
+            )
         self._init = np.asarray(task.initial_tokens, np.int32)
         self._occupant: List[Optional[_Request]] = [None] * slots
         self._queue: List[_Request] = []

@@ -383,6 +383,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             engine = DecodeEngine(
                 model, options or transcriber.options, slots=engine_slots,
                 audio_frontend=True, lookup_gamma=engine_lookup_gamma,
+                mesh=mesh,
             )
         except Exception:
             # don't leak the already-started transcriber workers when the

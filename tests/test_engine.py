@@ -234,3 +234,58 @@ def test_engine_submit_after_close_race(model):
     engine.close()
     with pytest.raises(RuntimeError, match="closed"):
         engine.submit(_mel(62), timeout=30)
+
+
+def test_engine_data_parallel_mesh_parity(model):
+    """mesh= shards the slot pool along the data axis (8 virtual CPU
+    devices); tokens stay exact vs plain greedy through mid-flight
+    admission and slot reuse."""
+    from qasr_ijcnlp_tpu import parallel
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    mesh = parallel.make_mesh(jax.devices()[:8], model_parallel=1)
+    seeds = [71, 72, 73, 74, 75, 76, 77, 78, 79, 80]
+    expected = {}
+    for s in seeds:
+        expected.update(_reference_tokens(model, [s], sample_len=12))
+
+    # engine.shard() mutates its model (params placement + pinned mesh);
+    # give it its own instance (same init key as the fixture) so the
+    # module-scoped fixture stays single-device for later tests.
+    mesh_model = WhisperModel(
+        init_params(jax.random.PRNGKey(7), DIMS), DIMS, name="engine-mesh"
+    )
+    engine = DecodeEngine(
+        mesh_model,
+        DecodingOptions(fp16=False, language="en", sample_len=12),
+        slots=8, unroll=2, admit_width=4, mesh=mesh,
+    )
+    try:
+        results = {}
+        errors = []
+
+        def worker(s):
+            try:
+                results[s] = engine.submit(_mel(s), timeout=600)
+            except Exception as e:  # noqa: BLE001
+                errors.append((s, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in seeds
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        for s in seeds:
+            assert results[s]["tokens"] == expected[s], s
+    finally:
+        engine.close()
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        DecodeEngine(
+            mesh_model, DecodingOptions(fp16=False, language="en"),
+            slots=3, mesh=mesh,
+        )
