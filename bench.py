@@ -84,6 +84,9 @@ def main():
                 "value": round(rtf, 3),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(vs, 3) if vs else None,
+                # disambiguates a tunnel-down CPU-fallback run from a real
+                # TPU measurement in the round record
+                "platform": jax.default_backend(),
             }
         )
     )

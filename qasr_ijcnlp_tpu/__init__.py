@@ -43,4 +43,12 @@ def __getattr__(name):
         from .transcribe import transcribe as _transcribe
 
         return _transcribe
+    if name == "DecodeEngine":
+        from .decode.engine import DecodeEngine
+
+        return DecodeEngine
+    if name in ("export_greedy_decode", "save_artifact", "load_artifact"):
+        from . import export as _export
+
+        return getattr(_export, name)
     raise AttributeError(f"module 'qasr_ijcnlp_tpu' has no attribute {name!r}")

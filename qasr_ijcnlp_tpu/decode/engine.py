@@ -272,6 +272,7 @@ class DecodeEngine:
         audio_frontend: bool = False,
         lookup_gamma: int = 0,
         mesh=None,
+        metrics=None,
     ):
         """``audio_frontend``: submit() takes RAW 16 kHz audio (padded to
         30 s, peak-quantized to int16 on the host) and the mel runs inside
@@ -284,7 +285,11 @@ class DecodeEngine:
 
         ``mesh``: shard the slot pool (and the params, via model.shard)
         along the mesh's data axis — data-parallel continuous batching for
-        multi-chip hosts.  ``slots`` must be a mesh-size multiple."""
+        multi-chip hosts.  ``slots`` must be a mesh-size multiple.
+
+        ``metrics``: a serving.ServerMetrics-like registry (``inc``/``set``)
+        to record admissions, retirements, committed tokens, step
+        dispatches, and current slot occupancy under ``engine_*`` names."""
         from . import DecodingOptions, DecodingTask
 
         from dataclasses import replace
@@ -328,6 +333,7 @@ class DecodeEngine:
         self.admit_width = min(admit_width, slots)
         self.admit_calls = 0  # diagnostic: distinct admission dispatches
         self.audio_frontend = audio_frontend
+        self.metrics = metrics
         if self._detect:
             mask = np.zeros(model_obj.dims.n_vocab, bool)
             mask[list(self.tokenizer.all_language_tokens)] = True
@@ -497,6 +503,9 @@ class DecodeEngine:
             self.admit_calls += 1
             for slot, req in zip(ids, take):
                 self._occupant[slot] = req
+            if self.metrics is not None:
+                self.metrics.inc("engine_admitted_total", len(take))
+                self.metrics.inc("engine_admit_dispatches_total")
 
     def _retire_finished(self):
         finished, cur = jax.device_get(
@@ -534,6 +543,11 @@ class DecodeEngine:
             }
             req.event.set()
             self._occupant[slot] = None
+            if self.metrics is not None:
+                self.metrics.inc("engine_retired_total")
+                self.metrics.inc(
+                    "engine_committed_tokens_total", len(ids) + 1
+                )
 
     def _run(self):
         while not self._stop.is_set():
@@ -547,11 +561,16 @@ class DecodeEngine:
                 continue
             try:
                 self._admit_some()
-                if any(r is not None for r in self._occupant):
+                occupied = sum(r is not None for r in self._occupant)
+                if self.metrics is not None:
+                    self.metrics.set("engine_slots_occupied", occupied)
+                if occupied:
                     self.state = _engine_step(
                         self.model.params, self.cfg, self.state, self.unroll,
                         gamma=self.lookup_gamma,
                     )
+                    if self.metrics is not None:
+                        self.metrics.inc("engine_step_dispatches_total")
                     self._retire_finished()
             except Exception as e:  # fail live requests, keep serving
                 msg = f"{type(e).__name__}: {e}"

@@ -63,6 +63,11 @@ class ServerMetrics:
             if value > self._counters.get(name, 0.0):
                 self._counters[name] = value
 
+    def set(self, name: str, value: float):
+        """Gauge: last write wins (e.g. current slot occupancy)."""
+        with self._lock:
+            self._counters[name] = value
+
     def observe_request(self, route: str, seconds: float, error: bool):
         self.inc(f'requests_total{{route="{route}"}}')
         if error:
@@ -383,7 +388,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             engine = DecodeEngine(
                 model, options or transcriber.options, slots=engine_slots,
                 audio_frontend=True, lookup_gamma=engine_lookup_gamma,
-                mesh=mesh,
+                mesh=mesh, metrics=transcriber.metrics,
             )
         except Exception:
             # don't leak the already-started transcriber workers when the

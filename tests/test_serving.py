@@ -495,11 +495,30 @@ def test_engine_route_parity_with_microbatcher(small_model):
         for seed, exp in expected.items():
             assert results[seed]["tokens"] == exp, seed
 
-        with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/metrics", timeout=30
-        ) as r:
-            body = r.read().decode()
+        # the handler sends the response BEFORE recording metrics; poll
+        # briefly so the last in-flight observe_request lands
+        import time as _time
+
+        deadline = _time.time() + 10
+        while True:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as r:
+                body = r.read().decode()
+            if ('qasr_requests_total{route="transcribe_engine"} 3' in body
+                    or _time.time() > deadline):
+                break
+            _time.sleep(0.1)
         assert 'qasr_requests_total{route="transcribe_engine"} 3' in body
+        metrics = {}
+        for line in body.strip().splitlines():
+            name, value = line.rsplit(" ", 1)
+            metrics[name] = float(value)
+        assert metrics["qasr_engine_admitted_total"] == 3
+        assert metrics["qasr_engine_retired_total"] == 3
+        assert metrics["qasr_engine_committed_tokens_total"] >= 3
+        assert metrics["qasr_engine_step_dispatches_total"] >= 1
+        assert "qasr_engine_slots_occupied" in metrics
     finally:
         server.shutdown()
         transcriber.close()
