@@ -47,6 +47,10 @@ def __getattr__(name):
         from .decode.engine import DecodeEngine
 
         return DecodeEngine
+    if name == "StreamingTranscriber":
+        from .streaming import StreamingTranscriber
+
+        return StreamingTranscriber
     if name in ("export_greedy_decode", "save_artifact", "load_artifact"):
         from . import export as _export
 

@@ -399,6 +399,29 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     # serialize them so concurrent streams don't interleave compile churn.
     long_lock = threading.Lock()
 
+    # Online sessions (streaming.StreamingTranscriber): id -> [session,
+    # last-access].  Device work is serialized under long_lock (every
+    # session decodes the same padded 30 s window shape, so one compiled
+    # program serves them all); idle sessions are purged lazily.
+    sessions: Dict[str, list] = {}
+    sessions_lock = threading.Lock()
+    SESSION_IDLE_TTL = 600.0
+
+    def _get_session(sid):
+        import time as _t
+
+        with sessions_lock:
+            for k in [
+                k for k, v in sessions.items()
+                if _t.time() - v[1] > SESSION_IDLE_TTL
+            ]:
+                del sessions[k]
+            entry = sessions.get(sid)
+            if entry is not None:
+                entry[1] = _t.time()
+                return entry[0]
+        return None
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked streaming responses
 
@@ -472,6 +495,57 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                 metrics.observe_request(
                     route, time.perf_counter() - t0, failed
                 )
+            elif url.path == "/v1/stream/sessions":
+                # create an online (incremental) transcription session
+                import time as _t
+                import uuid
+
+                try:
+                    from dataclasses import replace
+
+                    from .streaming import StreamingTranscriber
+
+                    opts = options or transcriber.options
+                    st = StreamingTranscriber(
+                        transcriber.model,
+                        replace(opts, without_timestamps=False),
+                    )
+                    sid = uuid.uuid4().hex[:16]
+                    with sessions_lock:
+                        sessions[sid] = [st, _t.time()]
+                    self._send(200, {"id": sid})
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            elif url.path.startswith("/v1/stream/sessions/"):
+                parts = url.path.split("/")
+                sid = parts[4] if len(parts) > 4 else ""
+                action = parts[5] if len(parts) > 5 else ""
+                st = _get_session(sid)
+                if st is None:
+                    self._send(404, {"error": "unknown session"})
+                elif action == "audio":
+                    try:
+                        audio = self._read_audio()
+                        metrics.inc(
+                            "audio_seconds_total", len(audio) / 16000.0
+                        )
+                        with long_lock:
+                            self._send(200, st.feed(audio))
+                    except Exception as e:
+                        self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                elif action == "end":
+                    try:
+                        with long_lock:
+                            out = st.end()
+                        with sessions_lock:
+                            sessions.pop(sid, None)
+                        self._send(200, out)
+                    except Exception as e:
+                        with sessions_lock:
+                            sessions.pop(sid, None)
+                        self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                else:
+                    self._send(404, {"error": "not found"})
             elif url.path == "/v1/transcribe/stream":
                 t0 = time.perf_counter()
                 try:

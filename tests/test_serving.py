@@ -549,3 +549,66 @@ def test_serve_engine_ctor_failure_closes_transcriber(small_model):
         and t.model is small_model
     ]
     assert not leaked
+
+
+def test_online_stream_session_api(small_model):
+    """Session API: create -> feed chunks -> end; result matches a direct
+    StreamingTranscriber run of the same chunks (deterministic)."""
+    from dataclasses import replace
+
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    opts = DecodingOptions(language="en", sample_len=8)
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False, options=opts,
+    )
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}/v1/stream/sessions"
+    audio = _audio(seed=9, seconds=3.0)
+    chunks = [audio[i: i + 16000] for i in range(0, len(audio), 16000)]
+
+    ref = StreamingTranscriber(
+        small_model, replace(opts, without_timestamps=False)
+    )
+    for c in chunks:
+        ref.feed(c)
+    expected = ref.end()
+
+    try:
+        with urllib.request.urlopen(
+            urllib.request.Request(base, data=b""), timeout=60
+        ) as r:
+            sid = json.load(r)["id"]
+        for c in chunks:
+            req = urllib.request.Request(
+                f"{base}/{sid}/audio",
+                data=json.dumps({"audio": c.tolist()}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.load(r)
+                assert "partial" in out and "text" in out
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/{sid}/end", data=b""),
+            timeout=120,
+        ) as r:
+            final = json.load(r)
+        assert final["text"] == expected["text"]
+        assert final["partial"] == ""
+
+        # session is gone after end
+        req = urllib.request.Request(
+            f"{base}/{sid}/audio",
+            data=json.dumps({"audio": [0.0] * 100}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        transcriber.close()
