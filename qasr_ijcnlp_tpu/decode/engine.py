@@ -556,6 +556,10 @@ class DecodeEngine:
                     r is None for r in self._occupant
                 )
             if idle:
+                if self.metrics is not None:
+                    # keep the gauge honest while drained (it is otherwise
+                    # only written on active iterations)
+                    self.metrics.set("engine_slots_occupied", 0)
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue

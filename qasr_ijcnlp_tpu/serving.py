@@ -407,15 +407,18 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     sessions_lock = threading.Lock()
     SESSION_IDLE_TTL = 600.0
 
+    def _purge_sessions_locked(now):
+        for k in [
+            k for k, v in sessions.items()
+            if now - v[1] > SESSION_IDLE_TTL
+        ]:
+            del sessions[k]
+
     def _get_session(sid):
         import time as _t
 
         with sessions_lock:
-            for k in [
-                k for k, v in sessions.items()
-                if _t.time() - v[1] > SESSION_IDLE_TTL
-            ]:
-                del sessions[k]
+            _purge_sessions_locked(_t.time())
             entry = sessions.get(sid)
             if entry is not None:
                 entry[1] = _t.time()
@@ -500,6 +503,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                 import time as _t
                 import uuid
 
+                t0, failed = time.perf_counter(), False
                 try:
                     from dataclasses import replace
 
@@ -512,16 +516,23 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     )
                     sid = uuid.uuid4().hex[:16]
                     with sessions_lock:
+                        _purge_sessions_locked(_t.time())
                         sessions[sid] = [st, _t.time()]
                     self._send(200, {"id": sid})
                 except Exception as e:
+                    failed = True
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                metrics.observe_request(
+                    "stream_session_create", time.perf_counter() - t0, failed
+                )
             elif url.path.startswith("/v1/stream/sessions/"):
                 parts = url.path.split("/")
                 sid = parts[4] if len(parts) > 4 else ""
                 action = parts[5] if len(parts) > 5 else ""
                 st = _get_session(sid)
+                t0, failed = time.perf_counter(), False
                 if st is None:
+                    failed = True
                     self._send(404, {"error": "unknown session"})
                 elif action == "audio":
                     try:
@@ -529,9 +540,14 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                         metrics.inc(
                             "audio_seconds_total", len(audio) / 16000.0
                         )
+                        # decode under the lock; write to the client socket
+                        # OUTSIDE it (a stalled client must not wedge the
+                        # process-wide long-form/stream pipeline)
                         with long_lock:
-                            self._send(200, st.feed(audio))
+                            out = st.feed(audio)
+                        self._send(200, out)
                     except Exception as e:
+                        failed = True
                         self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 elif action == "end":
                     try:
@@ -541,11 +557,17 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                             sessions.pop(sid, None)
                         self._send(200, out)
                     except Exception as e:
+                        failed = True
                         with sessions_lock:
                             sessions.pop(sid, None)
                         self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 else:
+                    failed = True
                     self._send(404, {"error": "not found"})
+                metrics.observe_request(
+                    f"stream_session_{action or 'unknown'}",
+                    time.perf_counter() - t0, failed,
+                )
             elif url.path == "/v1/transcribe/stream":
                 t0 = time.perf_counter()
                 try:

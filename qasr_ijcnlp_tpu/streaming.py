@@ -31,6 +31,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from .audio import N_SAMPLES as _WINDOW_SAMPLES
 from .audio import SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
 from .decode import DecodingOptions, DecodingResult, decode
 
@@ -110,7 +111,13 @@ class StreamingTranscriber:
         )
 
     def _commit(self, tokens: List[int]) -> str:
-        """Emit ``tokens`` beyond the already-committed window prefix."""
+        """Emit ``tokens`` beyond the already-committed window prefix.
+
+        The agreement path only calls this with hypotheses whose committed
+        prefix is intact; final/slide commits emit the blind suffix — if
+        the last decode diverged inside the committed region, the junction
+        may garble (the standard never-retract streaming trade-off: the
+        alternative is retracting text a client already consumed)."""
         new = tokens[len(self._win_committed):]
         if not new:
             return ""
@@ -121,27 +128,34 @@ class StreamingTranscriber:
         return delta
 
     def _maybe_slide(self, hyp: List[int]) -> None:
-        """Near the 30 s ceiling: force-commit up to the LAST timestamp
-        token and drop the audio before it (segment-boundary cut)."""
+        """Near the 30 s ceiling: force-commit up to the last timestamp
+        token AT OR AFTER the committed point and drop the audio before it
+        (a boundary inside the committed region would re-decode — and
+        re-commit — audio whose text was already emitted)."""
         if len(self._audio) < self.window:
             return
         ts_begin = self._ts_begin
-        last_ts_pos, last_ts = -1, None
+        k = len(self._win_committed)
+        pos, ts = -1, None
         for i, t in enumerate(hyp):
-            if t >= ts_begin:
-                last_ts_pos, last_ts = i, t
-        cut_samples = None
-        if last_ts_pos > 0:
-            seconds = (last_ts - ts_begin) * 0.02
+            if t >= ts_begin and i >= max(k, 1):
+                pos, ts = i, t
+        if pos > 0:
+            seconds = (ts - ts_begin) * 0.02
             # clamp: the decoder can emit timestamps past the real audio
             # (the window is silence-padded to 30 s)
             cut_samples = min(int(seconds * SAMPLE_RATE), len(self._audio))
-        if not cut_samples or cut_samples <= 0:
-            # no usable boundary (e.g. silence): hard-cut the whole window
-            self._commit(hyp)
-            cut_samples = len(self._audio)
-        else:
-            self._commit(hyp[:last_ts_pos])
+            if cut_samples > 0:
+                self._commit(hyp[:pos])
+                self._drop(cut_samples)
+                return
+        # no usable boundary at/after the committed point: commit the whole
+        # hypothesis and drop exactly the DECODED extent (30 s) — never
+        # audio the decoder hasn't seen
+        self._commit(hyp)
+        self._drop(min(len(self._audio), _WINDOW_SAMPLES))
+
+    def _drop(self, cut_samples: int) -> None:
         self._audio = self._audio[cut_samples:]
         self._offset += cut_samples / SAMPLE_RATE
         self._decoded_at = 0
@@ -226,6 +240,17 @@ class StreamingTranscriber:
                     "language": self._language,
                     "stream_seconds": self._offset,
                 }
+            # more than one window still buffered (e.g. a big final chunk):
+            # drain 30 s blocks — each decode covers exactly the audio it
+            # drops — before the final partial-window commit
+            deltas = []
+            while len(self._audio) > _WINDOW_SAMPLES:
+                result = self._decode_window()
+                if self._ts_begin is None:
+                    self._ts_begin = self._tokenizer().timestamp_begin
+                deltas.append(self._commit(list(result.tokens)))
+                self._drop(_WINDOW_SAMPLES)
             out = self._step(final=True)
+            out["committed_delta"] = "".join(deltas) + out["committed_delta"]
             out["partial"] = ""
             return out

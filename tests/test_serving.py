@@ -609,6 +609,29 @@ def test_online_stream_session_api(small_model):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # session routes are observed in /metrics like every other route
+        # (poll: the handler records after sending the response)
+        import time as _time
+
+        deadline = _time.time() + 10
+        while True:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as r:
+                body = r.read().decode()
+            # the 404 probe above is the LAST request; wait for ITS metric
+            if ('qasr_errors_total{route="stream_session_audio"} 1' in body
+                    or _time.time() > deadline):
+                break
+            _time.sleep(0.1)
+        assert 'qasr_requests_total{route="stream_session_create"} 1' in body
+        assert (
+            f'qasr_requests_total{{route="stream_session_audio"}} '
+            f'{len(chunks) + 1}' in body  # +1 for the post-end 404 probe
+        )
+        assert 'qasr_errors_total{route="stream_session_audio"} 1' in body
+        assert 'qasr_requests_total{route="stream_session_end"} 1' in body
     finally:
         server.shutdown()
         transcriber.close()

@@ -130,3 +130,26 @@ def test_streaming_end_is_terminal(model):
     s.end()
     with pytest.raises(RuntimeError, match="ended"):
         s.feed(_audio(5, 1.0))
+
+
+def test_streaming_end_drains_multi_window_backlog(model):
+    """end() with more than one window still buffered must decode ALL of it
+    (30 s blocks then the final partial window), not silently truncate."""
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    s = StreamingTranscriber(model, _opts(), step_seconds=1000.0)
+    # step_seconds huge -> feed() never decodes; everything lands on end()
+    calls = []
+    orig = s._decode_window
+
+    def spy():
+        calls.append(len(s._audio))
+        return orig()
+
+    s._decode_window = spy
+    s.feed(_audio(6, 65.0))
+    out = s.end()
+    # 65 s backlog: drain 30 s, drain 30 s, final 5 s -> 3 decodes
+    assert len(calls) == 3
+    assert out["stream_seconds"] == pytest.approx(65.0, abs=0.1)
+    assert len(s._audio) <= 16000 * 30
