@@ -390,11 +390,29 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                 audio_frontend=True, lookup_gamma=engine_lookup_gamma,
                 mesh=mesh, metrics=transcriber.metrics,
             )
+            # Online sessions decode WITH timestamps (the slide policy needs
+            # segment boundaries), so they get their own slot pool —
+            # concurrent sessions then share it via continuous batching
+            # instead of serializing under long_lock.
+            from dataclasses import replace as _replace
+
+            stream_engine = DecodeEngine(
+                model,
+                _replace(
+                    options or transcriber.options, without_timestamps=False
+                ),
+                slots=engine_slots, audio_frontend=True,
+                lookup_gamma=engine_lookup_gamma, mesh=mesh,
+            )
         except Exception:
             # don't leak the already-started transcriber workers when the
             # options are engine-incompatible (e.g. beam/temperature)
             transcriber.close()
+            if engine is not None:
+                engine.close()
             raise
+    else:
+        stream_engine = None
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
     long_lock = threading.Lock()
@@ -513,6 +531,10 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     st = StreamingTranscriber(
                         transcriber.model,
                         replace(opts, without_timestamps=False),
+                        decode_fn=(
+                            stream_engine.submit
+                            if stream_engine is not None else None
+                        ),
                     )
                     sid = uuid.uuid4().hex[:16]
                     with sessions_lock:
@@ -540,19 +562,27 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                         metrics.inc(
                             "audio_seconds_total", len(audio) / 16000.0
                         )
-                        # decode under the lock; write to the client socket
-                        # OUTSIDE it (a stalled client must not wedge the
-                        # process-wide long-form/stream pipeline)
-                        with long_lock:
+                        # decode under the lock (engine-backed sessions
+                        # batch continuously instead and skip it); write to
+                        # the client socket OUTSIDE the lock either way —
+                        # a stalled client must not wedge the process-wide
+                        # long-form/stream pipeline
+                        if st.decode_fn is not None:
                             out = st.feed(audio)
+                        else:
+                            with long_lock:
+                                out = st.feed(audio)
                         self._send(200, out)
                     except Exception as e:
                         failed = True
                         self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 elif action == "end":
                     try:
-                        with long_lock:
+                        if st.decode_fn is not None:
                             out = st.end()
+                        else:
+                            with long_lock:
+                                out = st.end()
                         with sessions_lock:
                             sessions.pop(sid, None)
                         self._send(200, out)
@@ -647,6 +677,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
 
     server = Server((host, port), Handler)
     server.engine = engine  # non-blocking callers close via server.engine
+    server.stream_engine = stream_engine
     if block:
         try:
             print(f"serving on http://{host}:{port} (batch={batch_size})")
@@ -655,6 +686,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             transcriber.close()
             if engine is not None:
                 engine.close()
+            if stream_engine is not None:
+                stream_engine.close()
     else:
         threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, transcriber

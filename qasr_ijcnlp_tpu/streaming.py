@@ -61,7 +61,15 @@ class StreamingTranscriber:
         step_seconds: float = 1.0,
         window_seconds: float = 29.0,
         agreement: int = 2,
+        decode_fn=None,
     ):
+        """``decode_fn``: optional replacement for the window decode —
+        called with the padded 30 s raw audio, must return a mapping with
+        ``tokens`` (timestamps included) and ``language``.  Serving passes
+        a DecodeEngine submit here so concurrent sessions share the
+        continuous-batching slot pool instead of serializing; the engine's
+        tokens are exact vs the plain decode, so session output is
+        identical either way."""
         options = options or DecodingOptions()
         if options.temperature != 0 or options.beam_size or options.best_of:
             raise ValueError("streaming decode is greedy-only")
@@ -72,6 +80,7 @@ class StreamingTranscriber:
             )
         self.model = model
         self.options = options
+        self.decode_fn = decode_fn
         self.step = int(step_seconds * SAMPLE_RATE)
         self.window = int(window_seconds * SAMPLE_RATE)
         self.agreement = max(2, agreement)
@@ -90,13 +99,24 @@ class StreamingTranscriber:
     # -- internals -----------------------------------------------------------
 
     def _decode_window(self) -> DecodingResult:
-        opts = self.options
-        if self._language is not None and opts.language is None:
-            from dataclasses import replace
+        if self.decode_fn is not None:
+            from types import SimpleNamespace
 
-            opts = replace(opts, language=self._language)
-        mel = log_mel_spectrogram(pad_or_trim(self._audio), self.model.dims.n_mels)
-        (result,) = decode(self.model, mel[None], opts)
+            out = self.decode_fn(pad_or_trim(self._audio))
+            result = SimpleNamespace(
+                tokens=list(out["tokens"]),
+                language=out.get("language") or self._language or "en",
+            )
+        else:
+            opts = self.options
+            if self._language is not None and opts.language is None:
+                from dataclasses import replace
+
+                opts = replace(opts, language=self._language)
+            mel = log_mel_spectrogram(
+                pad_or_trim(self._audio), self.model.dims.n_mels
+            )
+            (result,) = decode(self.model, mel[None], opts)
         self._language = result.language
         return result
 

@@ -635,3 +635,71 @@ def test_online_stream_session_api(small_model):
     finally:
         server.shutdown()
         transcriber.close()
+
+
+def test_online_sessions_through_engine(small_model):
+    """With engine_slots, sessions decode through a timestamps-variant
+    engine slot pool (no long_lock serialization); engine tokens are exact
+    vs plain decode, so output matches the lock-based path identically —
+    including two sessions running concurrently."""
+    from dataclasses import replace
+
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    opts = DecodingOptions(language="en", sample_len=8)
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False, options=opts,
+        engine_slots=4,
+    )
+    assert server.stream_engine is not None
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}/v1/stream/sessions"
+
+    def expected_for(seed):
+        ref = StreamingTranscriber(
+            small_model, replace(opts, without_timestamps=False)
+        )
+        for i in range(0, 32000, 16000):
+            ref.feed(_audio(seed=seed, seconds=2.0)[i: i + 16000])
+        return ref.end()["text"]
+
+    def run_session(seed, out):
+        with urllib.request.urlopen(
+            urllib.request.Request(base, data=b""), timeout=60
+        ) as r:
+            sid = json.load(r)["id"]
+        audio = _audio(seed=seed, seconds=2.0)
+        for i in range(0, len(audio), 16000):
+            req = urllib.request.Request(
+                f"{base}/{sid}/audio",
+                data=json.dumps(
+                    {"audio": audio[i: i + 16000].tolist()}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(req, timeout=300).read()
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/{sid}/end", data=b""),
+            timeout=300,
+        ) as r:
+            out[seed] = json.load(r)["text"]
+
+    try:
+        results = {}
+        threads = [
+            threading.Thread(target=run_session, args=(s, results))
+            for s in (13, 14)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        for s in (13, 14):
+            assert results[s] == expected_for(s), s
+    finally:
+        server.shutdown()
+        transcriber.close()
+        server.engine.close()
+        server.stream_engine.close()
