@@ -528,13 +528,28 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     from .streaming import StreamingTranscriber
 
                     opts = options or transcriber.options
+                    if "language" in query:
+                        opts = replace(
+                            opts, language=query["language"][0] or None
+                        )
+                    kwargs = {
+                        k: float(query[k][0])
+                        for k in ("step_seconds", "window_seconds", "vad_rms")
+                        if k in query
+                    }
+                    # the shared engine pool was built with the SERVER's
+                    # language; a per-session override decodes via the
+                    # plain (lock-serialized) path instead
+                    use_engine = (
+                        stream_engine is not None and "language" not in query
+                    )
                     st = StreamingTranscriber(
                         transcriber.model,
                         replace(opts, without_timestamps=False),
                         decode_fn=(
-                            stream_engine.submit
-                            if stream_engine is not None else None
+                            stream_engine.submit if use_engine else None
                         ),
+                        **kwargs,
                     )
                     sid = uuid.uuid4().hex[:16]
                     with sessions_lock:

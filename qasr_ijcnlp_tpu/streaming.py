@@ -62,6 +62,7 @@ class StreamingTranscriber:
         window_seconds: float = 29.0,
         agreement: int = 2,
         decode_fn=None,
+        vad_rms: float = 0.0,
     ):
         """``decode_fn``: optional replacement for the window decode —
         called with the padded 30 s raw audio, must return a mapping with
@@ -69,7 +70,13 @@ class StreamingTranscriber:
         a DecodeEngine submit here so concurrent sessions share the
         continuous-batching slot pool instead of serializing; the engine's
         tokens are exact vs the plain decode, so session output is
-        identical either way."""
+        identical either way.
+
+        ``vad_rms``: energy gate — while the buffered window's RMS stays
+        below this, feed() skips the decode entirely (a microphone stream
+        is mostly silence; the saved decodes are the dominant cost).  When
+        a silent window slides, its audio is dropped without transcribing.
+        0.0 (default) disables the gate."""
         options = options or DecodingOptions()
         if options.temperature != 0 or options.beam_size or options.best_of:
             raise ValueError("streaming decode is greedy-only")
@@ -81,6 +88,7 @@ class StreamingTranscriber:
         self.model = model
         self.options = options
         self.decode_fn = decode_fn
+        self.vad_rms = float(vad_rms)
         self.step = int(step_seconds * SAMPLE_RATE)
         self.window = int(window_seconds * SAMPLE_RATE)
         self.agreement = max(2, agreement)
@@ -234,17 +242,29 @@ class StreamingTranscriber:
                 [self._audio, chunk.astype(np.float32)]
             )
             if len(self._audio) - self._decoded_at < self.step:
-                return {
-                    "committed_delta": "",
-                    "text": self._committed_text,
-                    "partial": self._partial_text(),
-                    "language": self._language,
-                    "stream_seconds": (
-                        self._offset + len(self._audio) / SAMPLE_RATE
-                    ),
-                }
+                return self._idle_state()
+            if self.vad_rms and self._silent():
+                # energy gate: don't decode silence; slide it out unseen
+                self._decoded_at = len(self._audio)
+                if len(self._audio) >= self.window:
+                    self._drop(min(len(self._audio), _WINDOW_SAMPLES))
+                return self._idle_state()
             self._decoded_at = len(self._audio)
             return self._step(final=False)
+
+    def _silent(self) -> bool:
+        return float(
+            np.sqrt(np.mean(np.square(self._audio)))
+        ) < self.vad_rms
+
+    def _idle_state(self) -> dict:
+        return {
+            "committed_delta": "",
+            "text": self._committed_text,
+            "partial": self._partial_text(),
+            "language": self._language,
+            "stream_seconds": self._offset + len(self._audio) / SAMPLE_RATE,
+        }
 
     def end(self) -> dict:
         """Final decode of the remaining audio; commits everything."""
@@ -252,14 +272,10 @@ class StreamingTranscriber:
             if self._closed:
                 raise RuntimeError("stream ended")
             self._closed = True
-            if len(self._audio) == 0:
-                return {
-                    "committed_delta": "",
-                    "text": self._committed_text,
-                    "partial": "",
-                    "language": self._language,
-                    "stream_seconds": self._offset,
-                }
+            if len(self._audio) == 0 or (self.vad_rms and self._silent()):
+                out = self._idle_state()
+                out["partial"] = ""
+                return out
             # more than one window still buffered (e.g. a big final chunk):
             # drain 30 s blocks — each decode covers exactly the audio it
             # drops — before the final partial-window commit

@@ -703,3 +703,65 @@ def test_online_sessions_through_engine(small_model):
         transcriber.close()
         server.engine.close()
         server.stream_engine.close()
+
+
+def test_stream_session_create_params(small_model):
+    """Query params at session create: language override falls back to the
+    lock path; vad_rms gates silent audio."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False,
+        options=DecodingOptions(language="en", sample_len=6),
+        engine_slots=2,
+    )
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}/v1/stream/sessions"
+    try:
+        with urllib.request.urlopen(
+            urllib.request.Request(
+                f"{base}?vad_rms=0.01&step_seconds=0.5", data=b""
+            ),
+            timeout=60,
+        ) as r:
+            sid = json.load(r)["id"]
+        # silence: gated, no text
+        req = urllib.request.Request(
+            f"{base}/{sid}/audio",
+            data=json.dumps({"audio": [0.0] * 16000}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["text"] == "" and out["partial"] == ""
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/{sid}/end", data=b""),
+            timeout=120,
+        ) as r:
+            assert json.load(r)["text"] == ""
+
+        # language override creates a session on the plain path (still works)
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}?language=en", data=b""),
+            timeout=60,
+        ) as r:
+            sid2 = json.load(r)["id"]
+        req = urllib.request.Request(
+            f"{base}/{sid2}/audio",
+            data=json.dumps(
+                {"audio": _audio(seed=15, seconds=1.5).tolist()}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=300).read()
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/{sid2}/end", data=b""),
+            timeout=300,
+        ) as r:
+            assert isinstance(json.load(r)["text"], str)
+    finally:
+        server.shutdown()
+        transcriber.close()
+        server.engine.close()
+        server.stream_engine.close()

@@ -153,3 +153,40 @@ def test_streaming_end_drains_multi_window_backlog(model):
     assert len(calls) == 3
     assert out["stream_seconds"] == pytest.approx(65.0, abs=0.1)
     assert len(s._audio) <= 16000 * 30
+
+
+def test_streaming_vad_gate_skips_silent_decodes(model):
+    """With vad_rms set, silent audio never reaches the decoder; buffers
+    still slide out; speech re-enables decoding."""
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    s = StreamingTranscriber(
+        model, _opts(), step_seconds=1.0, window_seconds=5.0, vad_rms=0.01
+    )
+    calls = []
+    orig = s._decode_window
+
+    def spy():
+        calls.append(1)
+        return orig()
+
+    s._decode_window = spy
+    silence = np.zeros(16000, np.float32)
+    for _ in range(8):  # 8 s of silence across a 5 s window: slides, no decode
+        s.feed(silence)
+    assert not calls
+    assert len(s._audio) <= 16000 * 6  # still bounded (silent slide)
+
+    s.feed(_audio(7, 2.0))  # speech: rms ~0.1 >> gate
+    assert calls
+    out = s.end()
+    assert isinstance(out["text"], str)
+
+
+def test_streaming_vad_gate_silent_end(model):
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    s = StreamingTranscriber(model, _opts(), vad_rms=0.01)
+    s.feed(np.zeros(32000, np.float32))
+    out = s.end()
+    assert out["text"] == ""
