@@ -537,6 +537,10 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                         for k in ("step_seconds", "window_seconds", "vad_rms")
                         if k in query
                     }
+                    if query.get("word_timestamps", ["0"])[0] in (
+                        "1", "true"
+                    ):
+                        kwargs["word_timestamps"] = True
                     # the shared engine pool was built with the SERVER's
                     # language; a per-session override decodes via the
                     # plain (lock-serialized) path instead

@@ -63,6 +63,7 @@ class StreamingTranscriber:
         agreement: int = 2,
         decode_fn=None,
         vad_rms: float = 0.0,
+        word_timestamps: bool = False,
     ):
         """``decode_fn``: optional replacement for the window decode —
         called with the padded 30 s raw audio, must return a mapping with
@@ -76,7 +77,12 @@ class StreamingTranscriber:
         below this, feed() skips the decode entirely (a microphone stream
         is mostly silence; the saved decodes are the dominant cost).  When
         a silent window slides, its audio is dropped without transcribing.
-        0.0 (default) disables the gate."""
+        0.0 (default) disables the gate.
+
+        ``word_timestamps``: attach per-word timings (cross-attention DTW,
+        align/) to the COMMITTED text whenever a window finalizes (slide or
+        end) — results accumulate in the ``words`` output field with
+        stream-absolute times."""
         options = options or DecodingOptions()
         if options.temperature != 0 or options.beam_size or options.best_of:
             raise ValueError("streaming decode is greedy-only")
@@ -89,6 +95,8 @@ class StreamingTranscriber:
         self.options = options
         self.decode_fn = decode_fn
         self.vad_rms = float(vad_rms)
+        self.word_timestamps = bool(word_timestamps)
+        self._words: List[dict] = []
         self.step = int(step_seconds * SAMPLE_RATE)
         self.window = int(window_seconds * SAMPLE_RATE)
         self.agreement = max(2, agreement)
@@ -184,11 +192,47 @@ class StreamingTranscriber:
         self._drop(min(len(self._audio), _WINDOW_SAMPLES))
 
     def _drop(self, cut_samples: int) -> None:
+        self._align_committed()  # the window's committed text is now final
         self._audio = self._audio[cut_samples:]
         self._offset += cut_samples / SAMPLE_RATE
         self._decoded_at = 0
         self._win_committed = []
         self._prev_hyp = None
+
+    def _align_committed(self) -> None:
+        """Word-time the committed tokens of the finalizing window against
+        its audio (cross-attention DTW); times are shifted to
+        stream-absolute seconds."""
+        if not self.word_timestamps or not self._win_committed:
+            return
+        from .align import add_word_timestamps
+        from .audio import HOP_LENGTH
+
+        num_frames = min(len(self._audio), _WINDOW_SAMPLES) // HOP_LENGTH
+        if num_frames < 2:
+            return
+        mel = log_mel_spectrogram(
+            pad_or_trim(self._audio), self.model.dims.n_mels
+        )
+        seg = {
+            "tokens": list(self._win_committed),
+            "start": 0.0,
+            "end": num_frames / 100.0,
+            "seek": 0,
+        }
+        add_word_timestamps(
+            segments=[seg], model_obj=self.model,
+            tokenizer=self._tokenizer(), mel=mel, num_frames=num_frames,
+            last_speech_timestamp=0.0,
+        )
+        for w in seg.get("words", []):
+            self._words.append(
+                {
+                    **w,
+                    "start": round(w["start"] + self._offset, 3),
+                    "end": round(w["end"] + self._offset, 3),
+                }
+            )
 
     def _partial_text(self) -> str:
         """Uncommitted tail of the newest hypothesis (may still change)."""
@@ -218,13 +262,16 @@ class StreamingTranscriber:
                     delta = self._commit(agree)
             self._prev_hyp = hyp
             self._maybe_slide(hyp)
-        return {
+        out = {
             "committed_delta": delta,
             "text": self._committed_text,
             "partial": self._partial_text(),
             "language": self._language,
             "stream_seconds": self._offset + len(self._audio) / SAMPLE_RATE,
         }
+        if self.word_timestamps:
+            out["words"] = list(self._words)
+        return out
 
     # -- public API ----------------------------------------------------------
 
@@ -258,13 +305,16 @@ class StreamingTranscriber:
         ) < self.vad_rms
 
     def _idle_state(self) -> dict:
-        return {
+        out = {
             "committed_delta": "",
             "text": self._committed_text,
             "partial": self._partial_text(),
             "language": self._language,
             "stream_seconds": self._offset + len(self._audio) / SAMPLE_RATE,
         }
+        if self.word_timestamps:
+            out["words"] = list(self._words)
+        return out
 
     def end(self) -> dict:
         """Final decode of the remaining audio; commits everything."""
@@ -287,6 +337,9 @@ class StreamingTranscriber:
                 deltas.append(self._commit(list(result.tokens)))
                 self._drop(_WINDOW_SAMPLES)
             out = self._step(final=True)
+            self._align_committed()  # the final window's text is now final
             out["committed_delta"] = "".join(deltas) + out["committed_delta"]
             out["partial"] = ""
+            if self.word_timestamps:
+                out["words"] = list(self._words)
             return out

@@ -190,3 +190,26 @@ def test_streaming_vad_gate_silent_end(model):
     s.feed(np.zeros(32000, np.float32))
     out = s.end()
     assert out["text"] == ""
+
+
+def test_streaming_word_timestamps(model):
+    """word_timestamps=True attaches absolute-time word dicts whenever a
+    window finalizes; words accumulate and stay within the stream extent."""
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    s = StreamingTranscriber(
+        model, _opts(), step_seconds=2.0, window_seconds=10.0,
+        word_timestamps=True,
+    )
+    audio = _audio(8, 24.0)
+    for i in range(0, len(audio), 16000 * 2):
+        out = s.feed(audio[i: i + 16000 * 2])
+        assert "words" in out
+    out = s.end()
+    assert out["words"], "committed text produced no word timings"
+    for w in out["words"]:
+        assert set(w) >= {"word", "start", "end", "probability"}
+        assert 0.0 <= w["start"] <= w["end"] <= out["stream_seconds"] + 1e-6
+    # words cover the committed text (same normalized concatenation)
+    joined = "".join(w["word"] for w in out["words"])
+    assert joined.replace(" ", "") == out["text"].replace(" ", "")
