@@ -46,6 +46,22 @@ def _audio(seed=0, seconds=1.0):
     return (0.1 * rng.standard_normal(int(16000 * seconds))).astype(np.float32)
 
 
+def _poll_metrics(port, needle, timeout=10.0):
+    """Scrape /metrics until ``needle`` appears (the handler records a
+    request AFTER sending its response, so an immediate scrape races)."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while True:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            body = r.read().decode()
+        if needle in body or _time.time() > deadline:
+            return body
+        _time.sleep(0.1)
+
+
 def test_single_request(service):
     out = service.transcribe(_audio())
     assert set(out) >= {"text", "tokens", "avg_logprob", "language"}
@@ -417,6 +433,7 @@ def test_metrics_endpoint(small_model):
         with urllib.request.urlopen(req, timeout=120) as r:
             json.load(r)
 
+        _poll_metrics(port, 'qasr_requests_total{route="transcribe"}')
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/metrics", timeout=30
         ) as r:
@@ -443,10 +460,7 @@ def test_metrics_endpoint(small_model):
             urllib.request.urlopen(bad, timeout=30)
         except urllib.error.HTTPError as e:
             assert e.code == 400
-        with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}/metrics", timeout=30
-        ) as r:
-            body = r.read().decode()
+        body = _poll_metrics(port, 'qasr_errors_total{route="transcribe"} 1')
         assert 'qasr_errors_total{route="transcribe"} 1' in body
     finally:
         server.shutdown()
@@ -495,20 +509,9 @@ def test_engine_route_parity_with_microbatcher(small_model):
         for seed, exp in expected.items():
             assert results[seed]["tokens"] == exp, seed
 
-        # the handler sends the response BEFORE recording metrics; poll
-        # briefly so the last in-flight observe_request lands
-        import time as _time
-
-        deadline = _time.time() + 10
-        while True:
-            with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/metrics", timeout=30
-            ) as r:
-                body = r.read().decode()
-            if ('qasr_requests_total{route="transcribe_engine"} 3' in body
-                    or _time.time() > deadline):
-                break
-            _time.sleep(0.1)
+        body = _poll_metrics(
+            port, 'qasr_requests_total{route="transcribe_engine"} 3'
+        )
         assert 'qasr_requests_total{route="transcribe_engine"} 3' in body
         metrics = {}
         for line in body.strip().splitlines():
@@ -523,32 +526,35 @@ def test_engine_route_parity_with_microbatcher(small_model):
         server.shutdown()
         transcriber.close()
         server.engine.close()
+        server.stream_engine.close()
 
 
-def test_serve_engine_ctor_failure_closes_transcriber(small_model):
+def test_serve_engine_ctor_failure_closes_transcriber(
+    small_model, monkeypatch
+):
     """Engine-incompatible options must not leak the already-started
-    micro-batcher workers."""
+    micro-batcher workers.  Tracks the exact instances this serve() call
+    creates (a gc scan would trip over module fixtures that are alive by
+    design)."""
+    from qasr_ijcnlp_tpu import serving
     from qasr_ijcnlp_tpu.decode import DecodingOptions
-    from qasr_ijcnlp_tpu.serving import serve
 
+    created = []
+    orig_init = serving.BatchingTranscriber.__init__
+
+    def spy(self, *a, **k):
+        orig_init(self, *a, **k)
+        created.append(self)
+
+    monkeypatch.setattr(serving.BatchingTranscriber, "__init__", spy)
     with pytest.raises(ValueError, match="greedy-only"):
-        serve(
+        serving.serve(
             small_model, port=0, block=False,
             options=DecodingOptions(language="en", temperature=0.7),
             engine_slots=2,
         )
-    # the transcriber the failed serve() started must be closed: no
-    # lingering non-daemon state; BatchingTranscriber sets _stop on close.
-    import gc
-
-    from qasr_ijcnlp_tpu.serving import BatchingTranscriber
-
-    leaked = [
-        t for t in gc.get_objects()
-        if isinstance(t, BatchingTranscriber) and not t._stop.is_set()
-        and t.model is small_model
-    ]
-    assert not leaked
+    assert created, "serve() should have constructed a transcriber"
+    assert all(t._stop.is_set() for t in created)
 
 
 def test_online_stream_session_api(small_model):
@@ -610,21 +616,11 @@ def test_online_stream_session_api(small_model):
         except urllib.error.HTTPError as e:
             assert e.code == 404
 
-        # session routes are observed in /metrics like every other route
-        # (poll: the handler records after sending the response)
-        import time as _time
-
-        deadline = _time.time() + 10
-        while True:
-            with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/metrics", timeout=30
-            ) as r:
-                body = r.read().decode()
-            # the 404 probe above is the LAST request; wait for ITS metric
-            if ('qasr_errors_total{route="stream_session_audio"} 1' in body
-                    or _time.time() > deadline):
-                break
-            _time.sleep(0.1)
+        # session routes are observed in /metrics like every other route;
+        # the 404 probe above is the LAST request: wait for ITS metric
+        body = _poll_metrics(
+            port, 'qasr_errors_total{route="stream_session_audio"} 1'
+        )
         assert 'qasr_requests_total{route="stream_session_create"} 1' in body
         assert (
             f'qasr_requests_total{{route="stream_session_audio"}} '
