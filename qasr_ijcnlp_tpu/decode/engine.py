@@ -51,7 +51,8 @@ class _EngineState(NamedTuple):
 
     self_k: tuple  # per layer (B, Tmax, D)
     self_v: tuple
-    cross_k: tuple  # per layer (B, Ta, D)
+    cross_k: tuple  # per layer (B, Ta, D) fp — or (B, H, Dh, Tp) int8 when
+    #                 the pool is quantized (cross_sk non-empty)
     cross_v: tuple
     buf: jnp.ndarray  # (B, W) committed tokens (eot-filled tail)
     cur: jnp.ndarray  # (B,) committed count (incl. prompt)
@@ -62,16 +63,28 @@ class _EngineState(NamedTuple):
     sum_lp: jnp.ndarray
     no_speech: jnp.ndarray  # (B,) prob captured at admit
     lang: jnp.ndarray  # (B,) detected language token (-1 = fixed language)
+    # kv_int8 pools only: per layer (B, H, Tp) dequant scales.  Empty tuples
+    # on the fp path (the pytree structure is part of the jit key, so each
+    # mode compiles its own programs).
+    cross_sk: tuple = ()
+    cross_sv: tuple = ()
 
 
 def _cache_of(state: _EngineState) -> Dict:
-    return {
+    cache = {
         "self_k": list(state.self_k),
         "self_v": list(state.self_v),
-        "cross_k": list(state.cross_k),
-        "cross_v": list(state.cross_v),
         "idx": jnp.zeros((), jnp.int32),  # unused on the offsets path
     }
+    if state.cross_sk:
+        cache["cross_k8"] = list(state.cross_k)
+        cache["cross_sk"] = list(state.cross_sk)
+        cache["cross_v8"] = list(state.cross_v)
+        cache["cross_sv"] = list(state.cross_sv)
+    else:
+        cache["cross_k"] = list(state.cross_k)
+        cache["cross_v"] = list(state.cross_v)
+    return cache
 
 
 @partial(
@@ -219,6 +232,39 @@ def _engine_admit(
     row = row.at[:, cfg.sample_begin].set(tok0)
 
     ids = slot_ids
+    if state.cross_sk:
+        # int8 pool: the quantization (ops/decode_attn.quantize_kv, applied
+        # inside _prompt_pass) is per (row, head, position), so scattering
+        # values + scales row-wise is exactly the fp scatter.
+        cross = dict(
+            cross_k=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_k, sub["cross_k8"])
+            ),
+            cross_sk=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_sk, sub["cross_sk"])
+            ),
+            cross_v=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_v, sub["cross_v8"])
+            ),
+            cross_sv=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_sv, sub["cross_sv"])
+            ),
+        )
+    else:
+        cross = dict(
+            cross_k=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_k, sub["cross_k"])
+            ),
+            cross_v=tuple(
+                big.at[ids].set(s)
+                for big, s in zip(state.cross_v, sub["cross_v"])
+            ),
+        )
     return state._replace(
         self_k=tuple(
             big.at[ids].set(s) for big, s in zip(state.self_k, sub["self_k"])
@@ -226,14 +272,7 @@ def _engine_admit(
         self_v=tuple(
             big.at[ids].set(s) for big, s in zip(state.self_v, sub["self_v"])
         ),
-        cross_k=tuple(
-            big.at[ids].set(s)
-            for big, s in zip(state.cross_k, sub["cross_k"])
-        ),
-        cross_v=tuple(
-            big.at[ids].set(s)
-            for big, s in zip(state.cross_v, sub["cross_v"])
-        ),
+        **cross,
         buf=state.buf.at[ids].set(row),
         cur=state.cur.at[ids].set(cfg.sample_begin + 1),
         finished=state.finished.at[ids].set(tok0 == cfg.eot),
@@ -307,11 +346,6 @@ class DecodeEngine:
             options = replace(options, language="en")
         if options.temperature != 0 or options.beam_size or options.best_of:
             raise ValueError("DecodeEngine is greedy-only (temperature 0)")
-        if options.kv_int8:
-            raise ValueError(
-                "DecodeEngine does not support kv_int8 (the slot pool "
-                "scatters fp cross-KV rows)"
-            )
         self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
         if self.mesh is not None:
             ndata = self.mesh.shape["data"]
@@ -358,12 +392,27 @@ class DecodeEngine:
             + max(unroll, lookup_gamma + 1) + 1
         )
         self.tmax = min(dims.n_text_ctx, (reach + 15) // 16 * 16)
-        proto = model.init_kv_cache(dims, slots, dt, ctx=self.tmax)
+        proto = model.init_kv_cache(
+            dims, slots, dt, ctx=self.tmax, cross_int8=self.cfg.kv_int8
+        )
+        if self.cfg.kv_int8:
+            # int8 slot pool: cross_k/cross_v carry the int8 buffers; the
+            # per-(head, position) dequant scales ride in cross_sk/cross_sv.
+            cross = dict(
+                cross_k=tuple(proto["cross_k8"]),
+                cross_sk=tuple(proto["cross_sk"]),
+                cross_v=tuple(proto["cross_v8"]),
+                cross_sv=tuple(proto["cross_sv"]),
+            )
+        else:
+            cross = dict(
+                cross_k=tuple(proto["cross_k"]),
+                cross_v=tuple(proto["cross_v"]),
+            )
         self.state = _EngineState(
             self_k=tuple(proto["self_k"]),
             self_v=tuple(proto["self_v"]),
-            cross_k=tuple(proto["cross_k"]),
-            cross_v=tuple(proto["cross_v"]),
+            **cross,
             buf=jnp.full(
                 (slots, dims.n_text_ctx + 1), self.cfg.eot, jnp.int32
             ),

@@ -107,6 +107,40 @@ def test_engine_slot_reuse_sequential(model):
         engine.close()
 
 
+def test_engine_kv_int8_matches_batch_int8(model):
+    """kv_int8 slot pool: admission quantizes each request's cross-KV with
+    the same per-(head, position) scheme the batch decode path uses
+    (ops/decode_attn.quantize_kv), so engine tokens equal the batch path's
+    kv_int8 tokens per request (int8 vs FP tokens may differ — that is the
+    documented kv_int8 trade)."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    seeds = [41, 42, 43]
+    expected = {}
+    for s in seeds:
+        expected.update(
+            _reference_tokens(model, [s], sample_len=12, kv_int8=True)
+        )
+
+    engine = DecodeEngine(
+        model,
+        DecodingOptions(
+            fp16=False, language="en", sample_len=12, kv_int8=True
+        ),
+        slots=2, unroll=2, admit_width=2,
+    )
+    try:
+        # int8 buffers actually back the pool
+        assert engine.state.cross_sk and engine.state.cross_sv
+        assert engine.state.cross_k[0].dtype == np.int8
+        for s in seeds:
+            out = engine.submit(_mel(s), timeout=300)
+            assert out["tokens"] == expected[s], s
+    finally:
+        engine.close()
+
+
 def test_engine_rejects_non_greedy(model):
     from qasr_ijcnlp_tpu.decode import DecodingOptions
     from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
