@@ -342,6 +342,10 @@ def _long_form_kwargs(options: Optional[DecodingOptions], query: dict) -> dict:
         "word_timestamps": query.get("word_timestamps", ["0"])[0]
         in ("1", "true"),
     }
+    if query.get("condition_on_previous_text", [""])[0] in ("0", "false"):
+        # Windows become independent: with an engine-backed server every
+        # window of every concurrent long request then shares the slot pool.
+        kwargs["condition_on_previous_text"] = False
     bw = query.get("batch_windows", [None])[0]
     if bw:
         kwargs["batch_windows"] = int(bw)
@@ -411,11 +415,41 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             if engine is not None:
                 engine.close()
             raise
+        # Long-form pool: mel-input + timestamps, options built EXACTLY the
+        # way transcribe() builds its t=0 ladder rung from the server's
+        # forwarded options — _engine_shortcut compares them for equality,
+        # so any mismatch would silently disable the shortcut.  Concurrent
+        # >30 s requests then interleave their 30 s windows in this pool
+        # instead of serializing under long_lock (full effect with
+        # ?condition_on_previous_text=0; conditioned windows carry a prompt
+        # and use the locked path).
+        try:
+            lf = {
+                k: v
+                for k, v in _long_form_kwargs(options, {}).items()
+                if k not in ("word_timestamps", "batch_windows")
+            }
+            # transcribe() resolves language before building its t=0
+            # options: English-only models always decode "en", and a
+            # multilingual file whose detected language differs from the
+            # pool's simply falls back to the locked path.
+            lf.setdefault("language", "en")
+            long_engine = DecodeEngine(
+                model, DecodingOptions(**lf, temperature=0.0),
+                slots=engine_slots, audio_frontend=False,
+                lookup_gamma=engine_lookup_gamma, mesh=mesh,
+                metrics=transcriber.metrics,
+            )
+        except Exception:
+            long_engine = None  # e.g. beam options: long-form stays locked
     else:
         stream_engine = None
+        long_engine = None
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
-    long_lock = threading.Lock()
+    # Reentrant: transcribe(device_lock=...) re-acquires it inside regions
+    # the engine-backed route already holds (batched-path ladder fallbacks).
+    long_lock = threading.RLock()
 
     # Online sessions (streaming.StreamingTranscriber): id -> [session,
     # last-access].  Device work is serialized under long_lock (every
@@ -499,11 +533,22 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     )
                     if force_long or len(audio) > 30 * 16000:
                         route = "transcribe_long"
-                        with long_lock:
+                        if long_engine is not None:
+                            # Engine-backed: promptless t=0 windows batch
+                            # continuously with OTHER long requests; only
+                            # ladder fallbacks / alignment serialize under
+                            # the (reentrant) lock.
                             result = _long_transcribe(
                                 transcriber.model, audio,
+                                engine=long_engine, device_lock=long_lock,
                                 **_long_form_kwargs(options, query),
                             )
+                        else:
+                            with long_lock:
+                                result = _long_transcribe(
+                                    transcriber.model, audio,
+                                    **_long_form_kwargs(options, query),
+                                )
                         self._send(200, result)
                     elif engine is not None:
                         route = "transcribe_engine"
@@ -651,14 +696,24 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
 
                 def run():
                     try:
-                        with long_lock:
+                        if long_engine is not None:
                             result = _long_transcribe(
                                 transcriber.model, audio,
                                 on_segments=lambda segs, prog: chunks.put(
                                     {"segments": segs, "progress": prog}
                                 ),
+                                engine=long_engine, device_lock=long_lock,
                                 **_long_form_kwargs(options, query),
                             )
+                        else:
+                            with long_lock:
+                                result = _long_transcribe(
+                                    transcriber.model, audio,
+                                    on_segments=lambda segs, prog: chunks.put(
+                                        {"segments": segs, "progress": prog}
+                                    ),
+                                    **_long_form_kwargs(options, query),
+                                )
                         chunks.put({
                             "done": True,
                             "text": result["text"],
@@ -697,16 +752,16 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
     server = Server((host, port), Handler)
     server.engine = engine  # non-blocking callers close via server.engine
     server.stream_engine = stream_engine
+    server.long_engine = long_engine
     if block:
         try:
             print(f"serving on http://{host}:{port} (batch={batch_size})")
             server.serve_forever()
         finally:
             transcriber.close()
-            if engine is not None:
-                engine.close()
-            if stream_engine is not None:
-                stream_engine.close()
+            for eng in (engine, stream_engine, long_engine):
+                if eng is not None:
+                    eng.close()
     else:
         threading.Thread(target=server.serve_forever, daemon=True).start()
     return server, transcriber

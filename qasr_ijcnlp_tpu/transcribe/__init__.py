@@ -20,6 +20,7 @@ there is exactly one XLA compilation regardless of audio length.
 
 from __future__ import annotations
 
+import contextlib
 import warnings
 from typing import List, Optional, Tuple, Union
 
@@ -39,7 +40,13 @@ from ..audio import (
 from ..decode import DecodingOptions, DecodingResult
 from ..align import add_word_timestamps
 from ..tokenizer import LANGUAGES, get_tokenizer
-from ..utils import exact_div, format_timestamp, get_end, make_safe
+from ..utils import (
+    compression_ratio,
+    exact_div,
+    format_timestamp,
+    get_end,
+    make_safe,
+)
 
 _PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
@@ -176,11 +183,22 @@ class _HallucinationSkipper:
 class _Session:
     """State for one transcription run (prompt history, seek, segments)."""
 
-    def __init__(self, model, tokenizer, options: dict, temperatures, thresholds):
+    def __init__(self, model, tokenizer, options: dict, temperatures, thresholds,
+                 engine_t0=None, device_lock=None):
         self.model = model
         self.tokenizer = tokenizer
         self.options = options
         self.temperatures = temperatures
+        # Optional continuous-batching shortcut for the ladder's t=0 rung
+        # (decode/engine.py): lets concurrent long-form requests share one
+        # slot pool instead of serializing their windows.  Only engaged for
+        # promptless windows (the engine's admission prompt is fixed).
+        self.engine_t0 = engine_t0
+        # Serializes direct device work (ladder decodes, alignment) against
+        # other host threads when the caller multiplexes requests (serving).
+        self.device_lock = (
+            device_lock if device_lock is not None else contextlib.nullcontext()
+        )
         (
             self.compression_ratio_threshold,
             self.logprob_threshold,
@@ -208,9 +226,16 @@ class _Session:
                 kwargs.pop("patience", None)
             else:
                 kwargs.pop("best_of", None)
-            result = self.model.decode(
-                mel_segment, DecodingOptions(**kwargs, temperature=t)
-            )
+            if t == 0 and self.engine_t0 is not None and not kwargs.get("prompt"):
+                # Token-exact vs model.decode at t=0 (the engine contract);
+                # runs WITHOUT the device lock — the engine serializes its
+                # own device work and batches us with other requests.
+                result = self.engine_t0(mel_segment)
+            else:
+                with self.device_lock:
+                    result = self.model.decode(
+                        mel_segment, DecodingOptions(**kwargs, temperature=t)
+                    )
             if self._acceptable(result):
                 break
         return result
@@ -491,6 +516,62 @@ def _transcribe_batched(
         session.commit(segments, False, result.temperature)
 
 
+def _engine_shortcut(engine, decode_options: dict):
+    """A ``mel_segment -> DecodingResult`` t=0 decoder backed by a shared
+    continuous-batching DecodeEngine, or None when the engine's pool was
+    built with different decode semantics than this transcription needs.
+
+    The compatibility test is exact DecodingOptions equality with the
+    ladder's t=0 rung: anything the engine would decode differently
+    (language, task, sample_len, kv_int8, timestamp handling, ...) falls
+    back to the plain per-window path, so enabling the engine can never
+    change a transcript."""
+    kwargs = dict(decode_options)
+    kwargs.pop("best_of", None)  # decode_window drops it at t=0
+    kwargs.pop("prompt", None)  # only promptless windows reach the engine
+    try:
+        t0 = DecodingOptions(**kwargs, temperature=0.0)
+    except TypeError:
+        return None
+    if (
+        t0 != engine.task.options
+        or t0.draft is not None
+        or engine.audio_frontend  # long-form slices the FILE-level mel;
+        #   an audio-input pool would recompute window mels with different
+        #   boundary reflection padding (not token-exact)
+        or engine._detect  # per-window language id diverges from the
+        #   reference's per-file detection protocol
+    ):
+        warnings.warn(
+            "transcribe(engine=...) ignored: the engine's decode options "
+            "do not match this call's t=0 options (or the pool is "
+            "audio-input / per-request-detect); decoding via the plain path."
+        )
+        return None
+
+    language = engine.task.options.language or "en"
+
+    def _decode(mel_segment) -> DecodingResult:
+        # model.decode draws one np.random seed per call (even at t=0,
+        # where argmax never uses it).  Consume the same draw so a seeded
+        # run produces byte-identical transcripts with or without the
+        # engine even when the ladder escalates into sampling.
+        np.random.randint(0, 2**31 - 1)
+        r = engine.submit(np.asarray(mel_segment, np.float32))
+        return DecodingResult(
+            audio_features=None,
+            language=language,
+            tokens=list(r["tokens"]),
+            text=r["text"],
+            avg_logprob=float(r["avg_logprob"]),
+            no_speech_prob=float(r["no_speech_prob"]),
+            temperature=0.0,
+            compression_ratio=compression_ratio(r["text"]),
+        )
+
+    return _decode
+
+
 def transcribe(
     model,
     audio: Union[str, np.ndarray],
@@ -510,6 +591,8 @@ def transcribe(
     hallucination_silence_threshold: Optional[float] = None,
     batch_windows: Union[bool, int] = False,
     on_segments=None,
+    engine=None,
+    device_lock=None,
     **decode_options,
 ) -> dict:
     """Transcribe audio of any length (reference transcribe.py:38-514).
@@ -531,14 +614,29 @@ def transcribe(
     committed window - the streaming hook used by serving's chunked
     /v1/transcribe/stream endpoint (the reference has no streaming story;
     its closest analog is the verbose per-segment print, transcribe.py:277).
+
+    ``engine``: a decode.engine.DecodeEngine (mel-input, timestamps) to run
+    the temperature ladder's t=0 rung through — concurrent transcribe()
+    calls then share its slot pool (continuous batching across FILES)
+    instead of serializing their windows.  Engaged per window only when the
+    engine's decode options exactly match this call's t=0 options and the
+    window carries no conditioning prompt (pass
+    ``condition_on_previous_text=False`` to make every window eligible);
+    everything else falls back to the plain path, so results are identical
+    with or without the engine.  ``device_lock``: optional REENTRANT lock
+    (threading.RLock) serializing the non-engine device work against other
+    host threads (serving) — reentrant because the batched fast path holds
+    it across per-window ladder fallbacks that lock again.
     """
+    _lk = device_lock if device_lock is not None else contextlib.nullcontext()
     # 30 s of zero padding on the right so the last window is full-size.
     # The device copy feeds the batched-window fast path and language
     # detection (windows sliced on device, no host round trip); a host
     # copy is fetched LAZILY only if the sequential seek loop's
     # data-dependent slicing needs it (a 10-minute mel is ~19 MB — the
     # unconditional fetch cost ~0.5 s over a tunneled device link).
-    mel_dev = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+    with _lk:
+        mel_dev = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
     _mel_host_cache: List[np.ndarray] = []
 
     def mel_host() -> np.ndarray:
@@ -559,7 +657,8 @@ def transcribe(
                     "Use `language` to specify the language"
                 )
             segment = pad_or_trim(mel_dev, N_FRAMES)
-            _, probs = model.detect_language(segment)
+            with _lk:
+                _, probs = model.detect_language(segment)
             decode_options["language"] = max(probs, key=probs.get)
             if verbose is not None:
                 print(
@@ -591,12 +690,15 @@ def transcribe(
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
+    engine_t0 = _engine_shortcut(engine, decode_options) if engine is not None else None
     session = _Session(
         model,
         tokenizer,
         decode_options,
         temperatures,
         (compression_ratio_threshold, logprob_threshold, no_speech_threshold),
+        engine_t0=engine_t0,
+        device_lock=device_lock,
     )
     session.on_segments = on_segments
 
@@ -617,15 +719,16 @@ def transcribe(
                 "to enable hallucination skipping."
             )
         max_batch = 64 if batch_windows is True else max(int(batch_windows), 2)
-        _transcribe_batched(
-            session, None, content_frames, max_batch, no_speech_threshold,
-            logprob_threshold, verbose, mel_dev=mel_dev,
-            seek_clips=seek_clips,
-            word_timestamps=word_timestamps,
-            prepend_punctuations=prepend_punctuations,
-            append_punctuations=append_punctuations,
-            initial_prompt_tokens=tuple(initial_prompt_tokens),
-        )
+        with _lk:
+            _transcribe_batched(
+                session, None, content_frames, max_batch, no_speech_threshold,
+                logprob_threshold, verbose, mel_dev=mel_dev,
+                seek_clips=seek_clips,
+                word_timestamps=word_timestamps,
+                prepend_punctuations=prepend_punctuations,
+                append_punctuations=append_punctuations,
+                initial_prompt_tokens=tuple(initial_prompt_tokens),
+            )
         return dict(
             text=tokenizer.decode(
                 session.all_tokens[len(initial_prompt_tokens):]
@@ -676,19 +779,20 @@ def transcribe(
             session.seek += advance
 
             if word_timestamps:
-                add_word_timestamps(
-                    segments=current_segments,
-                    model_obj=model,
-                    tokenizer=tokenizer,
-                    mel=mel_segment,
-                    num_frames=segment_size,
-                    prepend_punctuations=prepend_punctuations,
-                    append_punctuations=append_punctuations,
-                    last_speech_timestamp=session.last_speech_timestamp,
-                    # reuse the features this window was just decoded from
-                    # (find_alignment re-encodes only if they aren't f32)
-                    audio_features=result.audio_features,
-                )
+                with _lk:
+                    add_word_timestamps(
+                        segments=current_segments,
+                        model_obj=model,
+                        tokenizer=tokenizer,
+                        mel=mel_segment,
+                        num_frames=segment_size,
+                        prepend_punctuations=prepend_punctuations,
+                        append_punctuations=append_punctuations,
+                        last_speech_timestamp=session.last_speech_timestamp,
+                        # reuse the features this window was just decoded from
+                        # (find_alignment re-encodes only if they aren't f32)
+                        audio_features=result.audio_features,
+                    )
                 if not single_ts_ending:
                     last_word_end = get_end(current_segments)
                     if last_word_end is not None and last_word_end > time_offset:

@@ -527,6 +527,7 @@ def test_engine_route_parity_with_microbatcher(small_model):
         transcriber.close()
         server.engine.close()
         server.stream_engine.close()
+        server.long_engine.close()
 
 
 def test_serve_engine_ctor_failure_closes_transcriber(
@@ -699,6 +700,7 @@ def test_online_sessions_through_engine(small_model):
         transcriber.close()
         server.engine.close()
         server.stream_engine.close()
+        server.long_engine.close()
 
 
 def test_stream_session_create_params(small_model):
@@ -761,3 +763,69 @@ def test_stream_session_create_params(small_model):
         transcriber.close()
         server.engine.close()
         server.stream_engine.close()
+        server.long_engine.close()
+
+
+def test_long_form_through_engine(small_model):
+    """With engine_slots, >30 s requests run through a third (mel-input,
+    timestamps) slot pool: concurrent long-form requests interleave their
+    windows instead of serializing under long_lock, and the t=0 ladder
+    rungs are served by engine admissions."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.serving import serve
+
+    server, transcriber = serve(
+        small_model, port=0, batch_size=2, block=False,
+        options=DecodingOptions(language="en", without_timestamps=True,
+                                sample_len=4),
+        engine_slots=4,
+    )
+    assert server.long_engine is not None
+    port = server.server_address[1]
+
+    def post_long(seed, out):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe"
+            "?condition_on_previous_text=0",
+            data=json.dumps(
+                {"audio": _audio(seed=seed, seconds=35.0).tolist()}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out[seed] = json.load(r)
+
+    try:
+        results = {}
+        threads = [
+            threading.Thread(target=post_long, args=(s, results))
+            for s in (21, 22)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {21, 22}
+        for out in results.values():
+            assert set(out) >= {"text", "segments", "language"}
+            assert out["language"] == "en"
+            assert len(out["segments"]) >= 1
+
+        body = _poll_metrics(
+            port, 'qasr_requests_total{route="transcribe_long"} 2'
+        )
+        assert 'qasr_requests_total{route="transcribe_long"} 2' in body
+        # both requests' promptless t=0 windows were engine admissions
+        # (2 windows each; the 35 s clip spans 2 windows)
+        admitted = [
+            float(line.rsplit(" ", 1)[1])
+            for line in body.splitlines()
+            if line.startswith("qasr_engine_admitted_total")
+        ]
+        assert admitted and admitted[0] >= 4
+    finally:
+        server.shutdown()
+        transcriber.close()
+        server.engine.close()
+        server.stream_engine.close()
+        server.long_engine.close()
