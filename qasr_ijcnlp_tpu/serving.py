@@ -26,6 +26,7 @@ from __future__ import annotations
 import io
 import json
 import queue
+import sys
 import threading
 import wave
 from dataclasses import dataclass, field
@@ -415,41 +416,78 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             if engine is not None:
                 engine.close()
             raise
-        # Long-form pool: mel-input + timestamps, options built EXACTLY the
-        # way transcribe() builds its t=0 ladder rung from the server's
-        # forwarded options — _engine_shortcut compares them for equality,
-        # so any mismatch would silently disable the shortcut.  Concurrent
-        # >30 s requests then interleave their 30 s windows in this pool
-        # instead of serializing under long_lock (full effect with
-        # ?condition_on_previous_text=0; conditioned windows carry a prompt
-        # and use the locked path).
-        try:
-            lf = {
-                k: v
-                for k, v in _long_form_kwargs(options, {}).items()
-                if k not in ("word_timestamps", "batch_windows")
-            }
-            # transcribe() resolves language before building its t=0
-            # options: English-only models always decode "en", and a
-            # multilingual file whose detected language differs from the
-            # pool's simply falls back to the locked path.
-            lf.setdefault("language", "en")
-            long_engine = DecodeEngine(
-                model, DecodingOptions(**lf, temperature=0.0),
-                slots=engine_slots, audio_frontend=False,
-                lookup_gamma=engine_lookup_gamma, mesh=mesh,
-                metrics=transcriber.metrics,
-            )
-        except Exception:
-            long_engine = None  # e.g. beam options: long-form stays locked
     else:
         stream_engine = None
-        long_engine = None
+
+    # Long-form pool: mel-input + timestamps, options built EXACTLY the
+    # way transcribe() builds its t=0 ladder rung from the server's
+    # forwarded options — _engine_shortcut compares them for equality,
+    # so any mismatch would silently disable the shortcut.  Concurrent
+    # >30 s requests then interleave their 30 s windows in this pool
+    # instead of serializing under long_lock (full effect with
+    # ?condition_on_previous_text=0; conditioned windows carry a prompt
+    # and use the locked path).  Built LAZILY on the first >30 s request:
+    # a third slot pool's kv buffers are pure HBM overhead for deployments
+    # that only ever see short clips.
+    _long_engine_state: dict = {}
+    _long_engine_build_lock = threading.Lock()
+
+    def _get_long_engine():
+        if not engine_slots:
+            return None
+        with _long_engine_build_lock:
+            if "engine" not in _long_engine_state:
+                from .decode.engine import DecodeEngine
+
+                try:
+                    lf = {
+                        k: v
+                        for k, v in _long_form_kwargs(options, {}).items()
+                        if k not in ("word_timestamps", "batch_windows")
+                    }
+                    # transcribe() resolves language before building its t=0
+                    # options: English-only models always decode "en", and a
+                    # multilingual file whose detected language differs from
+                    # the pool's simply falls back to the locked path.
+                    lf.setdefault("language", "en")
+                    _long_engine_state["engine"] = DecodeEngine(
+                        model, DecodingOptions(**lf, temperature=0.0),
+                        slots=engine_slots, audio_frontend=False,
+                        lookup_gamma=engine_lookup_gamma, mesh=mesh,
+                        metrics=transcriber.metrics,
+                    )
+                except Exception as e:
+                    # e.g. beam options, or no HBM left for a third pool:
+                    # the server still works, >30 s requests just serialize
+                    # under long_lock — but say so instead of hiding it.
+                    print(
+                        "[serving] long-form engine pool disabled "
+                        f"({type(e).__name__}: {e}); >30 s requests will "
+                        "serialize under the long-form lock",
+                        file=sys.stderr,
+                    )
+                    _long_engine_state["engine"] = None
+            return _long_engine_state["engine"]
     # Long-form requests drive the device directly (window-by-window shapes);
     # serialize them so concurrent streams don't interleave compile churn.
     # Reentrant: transcribe(device_lock=...) re-acquires it inside regions
     # the engine-backed route already holds (batched-path ladder fallbacks).
     long_lock = threading.RLock()
+
+    def _run_long_transcribe(audio, **kw):
+        """One body for both long-form routes (kw: on_segments + forwarded
+        options).  Engine-backed: promptless t=0 windows batch continuously
+        with OTHER long requests and only ladder fallbacks / alignment
+        serialize under the (reentrant) lock; without a pool the whole call
+        serializes under long_lock."""
+        eng = _get_long_engine()
+        if eng is not None:
+            return _long_transcribe(
+                transcriber.model, audio,
+                engine=eng, device_lock=long_lock, **kw,
+            )
+        with long_lock:
+            return _long_transcribe(transcriber.model, audio, **kw)
 
     # Online sessions (streaming.StreamingTranscriber): id -> [session,
     # last-access].  Device work is serialized under long_lock (every
@@ -533,23 +571,12 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                     )
                     if force_long or len(audio) > 30 * 16000:
                         route = "transcribe_long"
-                        if long_engine is not None:
-                            # Engine-backed: promptless t=0 windows batch
-                            # continuously with OTHER long requests; only
-                            # ladder fallbacks / alignment serialize under
-                            # the (reentrant) lock.
-                            result = _long_transcribe(
-                                transcriber.model, audio,
-                                engine=long_engine, device_lock=long_lock,
-                                **_long_form_kwargs(options, query),
-                            )
-                        else:
-                            with long_lock:
-                                result = _long_transcribe(
-                                    transcriber.model, audio,
-                                    **_long_form_kwargs(options, query),
-                                )
-                        self._send(200, result)
+                        self._send(
+                            200,
+                            _run_long_transcribe(
+                                audio, **_long_form_kwargs(options, query)
+                            ),
+                        )
                     elif engine is not None:
                         route = "transcribe_engine"
                         self._send(200, engine.submit(audio))
@@ -696,24 +723,13 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
 
                 def run():
                     try:
-                        if long_engine is not None:
-                            result = _long_transcribe(
-                                transcriber.model, audio,
-                                on_segments=lambda segs, prog: chunks.put(
-                                    {"segments": segs, "progress": prog}
-                                ),
-                                engine=long_engine, device_lock=long_lock,
-                                **_long_form_kwargs(options, query),
-                            )
-                        else:
-                            with long_lock:
-                                result = _long_transcribe(
-                                    transcriber.model, audio,
-                                    on_segments=lambda segs, prog: chunks.put(
-                                        {"segments": segs, "progress": prog}
-                                    ),
-                                    **_long_form_kwargs(options, query),
-                                )
+                        result = _run_long_transcribe(
+                            audio,
+                            on_segments=lambda segs, prog: chunks.put(
+                                {"segments": segs, "progress": prog}
+                            ),
+                            **_long_form_kwargs(options, query),
+                        )
                         chunks.put({
                             "done": True,
                             "text": result["text"],
@@ -749,17 +765,24 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
         # scripts/bench_serving.py); size it for serving load.
         request_queue_size = 256
 
+        @property
+        def long_engine(self):
+            # Builds the pool on first access, exactly as the first >30 s
+            # request would; None when engine_slots is unset or the pool
+            # can't be built (beam options / no HBM headroom).
+            return _get_long_engine()
+
     server = Server((host, port), Handler)
     server.engine = engine  # non-blocking callers close via server.engine
     server.stream_engine = stream_engine
-    server.long_engine = long_engine
     if block:
         try:
             print(f"serving on http://{host}:{port} (batch={batch_size})")
             server.serve_forever()
         finally:
             transcriber.close()
-            for eng in (engine, stream_engine, long_engine):
+            for eng in (engine, stream_engine,
+                        _long_engine_state.get("engine")):
                 if eng is not None:
                     eng.close()
     else:

@@ -226,12 +226,23 @@ class _Session:
                 kwargs.pop("patience", None)
             else:
                 kwargs.pop("best_of", None)
+            result = None
             if t == 0 and self.engine_t0 is not None and not kwargs.get("prompt"):
                 # Token-exact vs model.decode at t=0 (the engine contract);
                 # runs WITHOUT the device lock — the engine serializes its
                 # own device work and batches us with other requests.
-                result = self.engine_t0(mel_segment)
-            else:
+                try:
+                    result = self.engine_t0(mel_segment)
+                except Exception as e:
+                    # A pool timeout/shutdown mid-file degrades this request
+                    # to the locked per-window path instead of aborting it
+                    # (and discarding every window already committed).
+                    warnings.warn(
+                        f"engine window decode failed ({type(e).__name__}: "
+                        f"{e}); continuing via the locked per-window path"
+                    )
+                    self.engine_t0 = None
+            if result is None:
                 with self.device_lock:
                     result = self.model.decode(
                         mel_segment, DecodingOptions(**kwargs, temperature=t)
@@ -524,8 +535,14 @@ def _engine_shortcut(engine, decode_options: dict):
     The compatibility test is exact DecodingOptions equality with the
     ladder's t=0 rung: anything the engine would decode differently
     (language, task, sample_len, kv_int8, timestamp handling, ...) falls
-    back to the plain per-window path, so enabling the engine can never
-    change a transcript."""
+    back to the plain per-window path, so enabling the engine never changes
+    the tokens a window decodes to.  Two caveats: (1) the engine computes
+    avg_logprob/no_speech_prob in its own jitted program, so a window whose
+    gate statistic sits within float drift of a quality threshold can take
+    a different temperature-ladder rung than the plain path would; (2)
+    engine results carry ``audio_features=None``, so ``word_timestamps``
+    alignment re-runs the encoder per window under the device lock (window
+    decodes still batch concurrently — the win shrinks but remains)."""
     kwargs = dict(decode_options)
     kwargs.pop("best_of", None)  # decode_window drops it at t=0
     kwargs.pop("prompt", None)  # only promptless windows reach the engine
@@ -719,6 +736,11 @@ def transcribe(
                 "to enable hallucination skipping."
             )
         max_batch = 64 if batch_windows is True else max(int(batch_windows), 2)
+        # The batched path gathers its own device batches and runs entirely
+        # under the device lock; an engine rung inside its per-window ladder
+        # fallbacks would re-decode t=0 AND block on submit round-trips
+        # while holding the lock, stalling every other request.
+        session.engine_t0 = None
         with _lk:
             _transcribe_batched(
                 session, None, content_frames, max_batch, no_speech_threshold,

@@ -219,3 +219,36 @@ def test_engine_longform_with_ladder_fallback(model):
         eng.close()
     assert got["text"] == base["text"]
     assert _strip_floats(got["segments"]) == _strip_floats(base["segments"])
+
+
+def test_engine_failure_degrades_to_locked_path(model):
+    """A pool error mid-file (timeout, shutdown) must not abort the request:
+    the session falls back to the plain per-window path and the transcript
+    matches a run that never had an engine."""
+    audio = _audio(7)
+    base = transcribe(
+        model, audio, condition_on_previous_text=False, **NO_GATES, **OPTS
+    )
+    eng = _engine(model)
+
+    calls = {"n": 0}
+    real_submit = eng.submit
+
+    def flaky_submit(mel, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first window via engine, second blows up
+            raise RuntimeError("engine shutting down")
+        return real_submit(mel, **kw)
+
+    eng.submit = flaky_submit
+    try:
+        with pytest.warns(UserWarning, match="engine window decode failed"):
+            got = transcribe(
+                model, audio, condition_on_previous_text=False,
+                **NO_GATES, **OPTS, engine=eng,
+            )
+    finally:
+        eng.close()
+    assert calls["n"] == 2  # engine abandoned after the failure
+    assert got["text"] == base["text"]
+    assert _strip_floats(got["segments"]) == _strip_floats(base["segments"])
