@@ -1,4 +1,4 @@
-"""Continuous-batching greedy decode engine (slot-based, vLLM-style).
+"""Continuous-batching decode engine (slot-based, vLLM-style).
 
 The micro-batcher (serving.BatchingTranscriber) decodes each batch to
 completion before the next one starts, so one long utterance head-of-line
@@ -16,11 +16,14 @@ The reference has no serving layer at all (closest: the one-batch-at-a-
 time eval loop, /root/reference/evaluate_pretrained_whisper.py:150-210);
 this is a beyond-reference capability.
 
-Exactness: each request's tokens equal the plain greedy decode of that
-request alone — the engine runs the same filtered-argmax progression with
-per-row filter state; only scheduling differs.  With ``language=None`` on
-a multilingual model, admission also runs the reference's language-id
-protocol (one sot forward) per request inside the same program.
+Exactness: each request's tokens equal the plain decode of that request
+alone — greedy pools run the same filtered-argmax progression with per-row
+filter state; beam pools (``options.beam_size``) run groups of K hypothesis
+rows through the shared ``_beam_transition`` and freeze each group on
+exactly the solo beam loop's exit predicate; only scheduling differs.
+With ``language=None`` on a multilingual model, admission also runs the
+reference's language-id protocol (one sot forward) per request inside the
+same program.
 
 Trade-off vs the jitted while_loop decode: the loop is host-driven (one
 dispatch + one small fetch per ``unroll`` tokens), costing tunnel latency
@@ -42,7 +45,14 @@ import jax
 import jax.numpy as jnp
 
 from ..models import whisper as model
-from .loop import LoopConfig, _encode_audio, _logits_dtype, _prompt_pass
+from .loop import (
+    LoopConfig,
+    _beam_transition,
+    _encode_audio,
+    _filter_state,
+    _logits_dtype,
+    _prompt_pass,
+)
 from .speculative import _argmax_commit, _lookup_propose, _verify_chain
 
 
@@ -287,6 +297,211 @@ def _engine_admit(
     )
 
 
+class _BeamState(NamedTuple):
+    """Device-resident beam slot pool: G request groups x K hypothesis rows.
+
+    Row arrays are (G*K, ...) group-major; per-request arrays are (G, ...).
+    The cross-KV is stored once per GROUP (grouped cross-attention,
+    models/whisper.py ``_grouped_cross_attention``), exactly like the batch
+    beam loop."""
+
+    self_k: tuple  # per layer (G*K, Tmax, D)
+    self_v: tuple
+    cross_k: tuple  # per layer (G, Ta, D) — fp only (no int8 beam pools)
+    cross_v: tuple
+    buf: jnp.ndarray  # (G*K, W) hypothesis tokens (eot-filled tail)
+    cur: jnp.ndarray  # (G,) write position (constant across a group's rows)
+    done: jnp.ndarray  # (G,) bool — group retired/free
+    sum_lp: jnp.ndarray  # (G*K,) cumulative beam logprobs
+    fin_toks: jnp.ndarray  # (G, C, W) bounded finished set
+    fin_scores: jnp.ndarray  # (G, C)
+    fin_count: jnp.ndarray  # (G,)
+    last: jnp.ndarray  # (G*K,) filter state
+    prev: jnp.ndarray
+    max_ts: jnp.ndarray
+    no_speech: jnp.ndarray  # (G,)
+    lang: jnp.ndarray  # (G,)
+
+
+def _beam_live(cfg: LoopConfig, C: int, cur, fin_count):
+    """The solo beam loop's continue predicate, per group (loop.py
+    ``beam_decode._live`` with i = cur - sample_begin): freezing each group
+    on exactly this predicate makes its result identical to decoding that
+    request alone."""
+    return (
+        (cur - cfg.sample_begin < cfg.sample_len)
+        & (fin_count < C)
+        & (cur <= cfg.dims.n_text_ctx)
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "unroll", "K", "C"), donate_argnums=(2,)
+)
+def _beam_engine_step(
+    params, cfg: LoopConfig, state: _BeamState, unroll: int, K: int, C: int
+):
+    """Advance every live group by up to ``unroll`` beam transitions in one
+    dispatch.  Done/free groups are inert: their rows still flow through the
+    (batched) forward+transition, but every update is masked out and their
+    self-KV gather is the identity."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    cache = {
+        "self_k": list(state.self_k), "self_v": list(state.self_v),
+        "cross_k": list(state.cross_k), "cross_v": list(state.cross_v),
+        "idx": jnp.zeros((), jnp.int32),  # unused on the offsets path
+    }
+    buf, cur, done, sum_lp = state.buf, state.cur, state.done, state.sum_lp
+    fin_toks, fin_scores, fin_count = (
+        state.fin_toks, state.fin_scores, state.fin_count
+    )
+    last, prev, max_ts = state.last, state.prev, state.max_ts
+    idr = jnp.arange(buf.shape[0])
+    for _ in range(unroll):
+        may = ~done
+        cur_rows = jnp.repeat(cur, K)
+        may_rows = jnp.repeat(may, K)
+        feed_at = jnp.maximum(cur_rows - 1, 0)
+        # Feed each row's last selected token; its KV (position cur-1) is
+        # written HERE, one iteration after selection — the same cache rows
+        # the batch loop produces, since the parent gather below permutes
+        # whole rows (frozen rows recompute identical values, and clamped
+        # writes past tmax touch only rows re-initialized at admission).
+        tok = jnp.take_along_axis(buf, feed_at[:, None], axis=1)
+        logits, cache = model.decoder_step(
+            params["decoder"], tok, cache, cfg.dims, dt,
+            logits_dtype=_logits_dtype(cfg), offsets=feed_at,
+        )
+        (t_buf, t_sum, t_ft, t_fs, t_fc, t_last, t_prev, t_maxts,
+         flat_src, _tok) = _beam_transition(
+            cfg, K, C, logits[:, 0].astype(jnp.float32), buf, cur_rows,
+            sum_lp, fin_toks, fin_scores, fin_count, last, prev, max_ts,
+        )
+        src = jnp.where(may_rows, flat_src, idr)
+        cache["self_k"] = [k[src] for k in cache["self_k"]]
+        cache["self_v"] = [v[src] for v in cache["self_v"]]
+        buf = jnp.where(may_rows[:, None], t_buf, buf)
+        sum_lp = jnp.where(may_rows, t_sum, sum_lp)
+        last = jnp.where(may_rows, t_last, last)
+        prev = jnp.where(may_rows, t_prev, prev)
+        max_ts = jnp.where(may_rows, t_maxts, max_ts)
+        fin_toks = jnp.where(may[:, None, None], t_ft, fin_toks)
+        fin_scores = jnp.where(may[:, None], t_fs, fin_scores)
+        fin_count = jnp.where(may, t_fc, fin_count)
+        cur = jnp.where(may, cur + 1, cur)
+        done = done | (may & ~_beam_live(cfg, C, cur, fin_count))
+    return state._replace(
+        self_k=tuple(cache["self_k"]), self_v=tuple(cache["self_v"]),
+        buf=buf, cur=cur, done=done, sum_lp=sum_lp, fin_toks=fin_toks,
+        fin_scores=fin_scores, fin_count=fin_count, last=last, prev=prev,
+        max_ts=max_ts,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "tmax", "K", "C", "audio_frontend", "detect"),
+    donate_argnums=(2,),
+)
+def _beam_admit(
+    params, cfg: LoopConfig, state: _BeamState,
+    group_ids: jnp.ndarray,  # (A,) int32 — duplicates allowed as padding
+    #                           that repeats a real id (identical payloads)
+    mels: jnp.ndarray,
+    init_tokens: jnp.ndarray,  # (A, sample_begin)
+    tmax: int, K: int, C: int,
+    scales: Optional[jnp.ndarray] = None,
+    audio_frontend: bool = False,
+    lang_mask: Optional[jnp.ndarray] = None,
+    detect: bool = False,
+):
+    """Encode + prompt-pass A requests, run their FIRST beam transition from
+    the prompt logits (so the pool's groups are uniformly 'forward then
+    transition'), and scatter the K-row groups into their slots."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    A = mels.shape[0]
+    if audio_frontend:
+        from ..audio import log_mel_spectrogram
+
+        mels = log_mel_spectrogram(
+            mels.astype(jnp.float32) * scales[:, None], cfg.dims.n_mels
+        )
+    xa = _encode_audio(params, mels, cfg)
+    if detect:
+        sot_tok = init_tokens[:, cfg.sot_index: cfg.sot_index + 1]
+        lang_logits = model.decoder_apply(
+            params["decoder"], sot_tok, xa, cfg.dims, dt
+        )[:, 0].astype(jnp.float32)
+        lang_tok = jnp.argmax(
+            jnp.where(lang_mask, lang_logits, -jnp.inf), axis=-1
+        ).astype(jnp.int32)
+        init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
+    else:
+        lang_tok = jnp.full((A,), -1, jnp.int32)
+    init_rep = jnp.repeat(init_tokens, K, axis=0)  # (A*K, sb)
+    sub, last_logits, no_speech_all = _prompt_pass(
+        params, cfg, xa, init_rep, ctx=tmax
+    )
+    no_speech = no_speech_all[::K]
+
+    W = state.buf.shape[1]
+    eot = cfg.eot
+    buf = jnp.full((A * K, W), eot, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(
+        buf, init_rep.astype(jnp.int32), (0, 0)
+    )
+    # Only beam 0 of each request starts live (loop.py beam_decode init).
+    sum_lp = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, -jnp.inf)[None, :], (A, 1)
+    ).reshape(A * K)
+    fin_toks = jnp.full((A, C, W), eot, jnp.int32)
+    fin_scores = jnp.full((A, C), -jnp.inf, jnp.float32)
+    fin_count = jnp.zeros((A,), jnp.int32)
+    last, prev, max_ts = _filter_state(buf, cfg.sample_begin, cfg)
+    cur_rows = jnp.full((A * K,), cfg.sample_begin, jnp.int32)
+    (buf, sum_lp, fin_toks, fin_scores, fin_count, last, prev, max_ts,
+     flat_src, _tok) = _beam_transition(
+        cfg, K, C, last_logits.astype(jnp.float32), buf, cur_rows, sum_lp,
+        fin_toks, fin_scores, fin_count, last, prev, max_ts,
+    )
+    self_k = [k[flat_src] for k in sub["self_k"]]
+    self_v = [v[flat_src] for v in sub["self_v"]]
+
+    cur_new = jnp.full((A,), cfg.sample_begin + 1, jnp.int32)
+    grp_done = ~_beam_live(cfg, C, cur_new, fin_count)
+
+    gids = group_ids
+    rids = (gids[:, None] * K + jnp.arange(K)).reshape(-1)
+    return state._replace(
+        self_k=tuple(
+            big.at[rids].set(s) for big, s in zip(state.self_k, self_k)
+        ),
+        self_v=tuple(
+            big.at[rids].set(s) for big, s in zip(state.self_v, self_v)
+        ),
+        cross_k=tuple(
+            big.at[gids].set(s)
+            for big, s in zip(state.cross_k, sub["cross_k"])
+        ),
+        cross_v=tuple(
+            big.at[gids].set(s)
+            for big, s in zip(state.cross_v, sub["cross_v"])
+        ),
+        buf=state.buf.at[rids].set(buf),
+        cur=state.cur.at[gids].set(cur_new),
+        done=state.done.at[gids].set(grp_done),
+        sum_lp=state.sum_lp.at[rids].set(sum_lp),
+        fin_toks=state.fin_toks.at[gids].set(fin_toks),
+        fin_scores=state.fin_scores.at[gids].set(fin_scores),
+        fin_count=state.fin_count.at[gids].set(fin_count),
+        last=state.last.at[rids].set(last),
+        prev=state.prev.at[rids].set(prev),
+        max_ts=state.max_ts.at[rids].set(max_ts),
+        no_speech=state.no_speech.at[gids].set(no_speech),
+        lang=state.lang.at[gids].set(lang_tok),
+    )
+
+
 @dataclass
 class _Request:
     payload: np.ndarray  # (n_mels, T) mel, or int16 audio (audio_frontend)
@@ -344,8 +559,24 @@ class DecodeEngine:
             # language slot and simply decode as English.
             self._detect = model_obj.is_multilingual
             options = replace(options, language="en")
-        if options.temperature != 0 or options.beam_size or options.best_of:
-            raise ValueError("DecodeEngine is greedy-only (temperature 0)")
+        if options.temperature != 0 or options.best_of:
+            raise ValueError(
+                "DecodeEngine decodes at temperature 0 (greedy or beam); "
+                "best_of requires sampling"
+            )
+        self.beam = options.beam_size or 0
+        if self.beam:
+            if lookup_gamma:
+                raise ValueError(
+                    "lookup_gamma speculative rounds are greedy-only"
+                )
+            if options.kv_int8:
+                raise ValueError(
+                    "kv_int8 beam pools are unsupported (grouped int8 "
+                    "cross-attention)"
+                )
+            if mesh is not None and mesh.devices.size > 1:
+                raise ValueError("beam engine pools do not shard over a mesh")
         self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
         if self.mesh is not None:
             ndata = self.mesh.shape["data"]
@@ -392,6 +623,42 @@ class DecodeEngine:
             + max(unroll, lookup_gamma + 1) + 1
         )
         self.tmax = min(dims.n_text_ctx, (reach + 15) // 16 * 16)
+        if self.beam:
+            # G = slots request groups x K hypothesis rows; cross-KV once
+            # per group (grouped cross-attention); bounded finished set of
+            # C = round(K * patience) candidates (reference decoding.py:318).
+            K = self.beam
+            self.max_cands = max(
+                round(K * (self.task.options.patience or 1.0)), 1
+            )
+            proto = model.init_kv_cache(
+                dims, slots * K, dt, cross_batch=slots, ctx=self.tmax
+            )
+            W = dims.n_text_ctx + 1
+            self.state = _BeamState(
+                self_k=tuple(proto["self_k"]),
+                self_v=tuple(proto["self_v"]),
+                cross_k=tuple(proto["cross_k"]),
+                cross_v=tuple(proto["cross_v"]),
+                buf=jnp.full((slots * K, W), self.cfg.eot, jnp.int32),
+                cur=jnp.full((slots,), task.sample_begin + 1, jnp.int32),
+                done=jnp.ones((slots,), bool),
+                sum_lp=jnp.zeros((slots * K,), jnp.float32),
+                fin_toks=jnp.full(
+                    (slots, self.max_cands, W), self.cfg.eot, jnp.int32
+                ),
+                fin_scores=jnp.full(
+                    (slots, self.max_cands), -jnp.inf, jnp.float32
+                ),
+                fin_count=jnp.zeros((slots,), jnp.int32),
+                last=jnp.full((slots * K,), -1, jnp.int32),
+                prev=jnp.full((slots * K,), -1, jnp.int32),
+                max_ts=jnp.zeros((slots * K,), jnp.int32),
+                no_speech=jnp.full((slots,), jnp.nan, jnp.float32),
+                lang=jnp.full((slots,), -1, jnp.int32),
+            )
+            self._post_init()
+            return
         proto = model.init_kv_cache(
             dims, slots, dt, ctx=self.tmax, cross_int8=self.cfg.kv_int8
         )
@@ -432,8 +699,13 @@ class DecodeEngine:
             self.state = jax.tree.map(
                 lambda x: jax.device_put(x, s), self.state
             )
-        self._init = np.asarray(task.initial_tokens, np.int32)
-        self._occupant: List[Optional[_Request]] = [None] * slots
+        self._post_init()
+
+    def _post_init(self):
+        """Host-side scheduling state + worker start (shared by the greedy
+        and beam pool constructors)."""
+        self._init = np.asarray(self.task.initial_tokens, np.int32)
+        self._occupant: List[Optional[_Request]] = [None] * self.slots
         self._queue: List[_Request] = []
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -534,14 +806,25 @@ class DecodeEngine:
                 )
                 sids = np.asarray(ids + [ids[-1]] * pad, np.int32)
                 init = np.tile(self._init, (A, 1))
-                self.state = _engine_admit(
-                    self.model.params, self.cfg, self.state,
-                    jnp.asarray(sids), jnp.asarray(payloads),
-                    jnp.asarray(init),
-                    tmax=self.tmax, scales=jnp.asarray(scales),
-                    audio_frontend=self.audio_frontend,
-                    lang_mask=self._lang_mask, detect=self._detect,
-                )
+                if self.beam:
+                    self.state = _beam_admit(
+                        self.model.params, self.cfg, self.state,
+                        jnp.asarray(sids), jnp.asarray(payloads),
+                        jnp.asarray(init),
+                        tmax=self.tmax, K=self.beam, C=self.max_cands,
+                        scales=jnp.asarray(scales),
+                        audio_frontend=self.audio_frontend,
+                        lang_mask=self._lang_mask, detect=self._detect,
+                    )
+                else:
+                    self.state = _engine_admit(
+                        self.model.params, self.cfg, self.state,
+                        jnp.asarray(sids), jnp.asarray(payloads),
+                        jnp.asarray(init),
+                        tmax=self.tmax, scales=jnp.asarray(scales),
+                        audio_frontend=self.audio_frontend,
+                        lang_mask=self._lang_mask, detect=self._detect,
+                    )
             except Exception as e:  # fail THESE requests (already dequeued:
                 # nobody else will ever wake them), keep the pool serving
                 msg = f"{type(e).__name__}: {e}"
@@ -556,7 +839,75 @@ class DecodeEngine:
                 self.metrics.inc("engine_admitted_total", len(take))
                 self.metrics.inc("engine_admit_dispatches_total")
 
+    def _retire_finished_beam(self):
+        done = jax.device_get(self.state.done)
+        retire = [
+            g for g, r in enumerate(self._occupant)
+            if r is not None and done[g]
+        ]
+        if not retire:
+            return
+        buf, sum_lp, fin_toks, fin_scores, fin_count, no_speech, lang = (
+            jax.device_get(
+                (self.state.buf, self.state.sum_lp, self.state.fin_toks,
+                 self.state.fin_scores, self.state.fin_count,
+                 self.state.no_speech, self.state.lang)
+            )
+        )
+        K, eot, sb = self.beam, self.cfg.eot, self.cfg.sample_begin
+        lp_alpha = self.task.options.length_penalty
+        for g in retire:
+            req = self._occupant[g]
+            # Finalize (reference BeamSearchDecoder.finalize, decoding.py:
+            # 384-404): top up with unfinished beams when fewer than
+            # beam_size finished.  The pool buffer's eot-filled tail plays
+            # the reference's appended eot.
+            seqs = [fin_toks[g, c] for c in range(int(fin_count[g]))]
+            scores = [float(fin_scores[g, c]) for c in range(int(fin_count[g]))]
+            if len(seqs) < K:
+                beam_scores = sum_lp[g * K: (g + 1) * K]
+                for j in np.argsort(beam_scores)[::-1]:
+                    seqs.append(buf[g * K + j])
+                    scores.append(float(beam_scores[j]))
+                    if len(seqs) >= K:
+                        break
+            sliced = []
+            for seq in seqs:
+                s = np.asarray(seq)[sb:]
+                hits = np.nonzero(s == eot)[0]
+                sliced.append(s[: hits[0]].tolist() if hits.size else s.tolist())
+            # MaximumLikelihoodRanker (decode/__init__.py _rank)
+            def _score(lp, length):
+                pen = (
+                    length if lp_alpha is None
+                    else ((5 + length) / 6) ** lp_alpha
+                )
+                return lp / pen
+            best = int(np.argmax(
+                [_score(p, len(t)) for p, t in zip(scores, sliced)]
+            ))
+            ids = sliced[best]
+            text = self.tokenizer.decode(ids).strip()
+            req.result = {
+                "text": text,
+                "tokens": [int(t) for t in ids],
+                "avg_logprob": scores[best] / (len(ids) + 1),
+                "no_speech_prob": float(no_speech[g]),
+                "language": self._lang_codes.get(
+                    int(lang[g]), self.task.options.language or "en"
+                ),
+            }
+            req.event.set()
+            self._occupant[g] = None
+            if self.metrics is not None:
+                self.metrics.inc("engine_retired_total")
+                self.metrics.inc(
+                    "engine_committed_tokens_total", len(ids) + 1
+                )
+
     def _retire_finished(self):
+        if self.beam:
+            return self._retire_finished_beam()
         finished, cur = jax.device_get(
             (self.state.finished, self.state.cur)
         )
@@ -618,10 +969,16 @@ class DecodeEngine:
                 if self.metrics is not None:
                     self.metrics.set("engine_slots_occupied", occupied)
                 if occupied:
-                    self.state = _engine_step(
-                        self.model.params, self.cfg, self.state, self.unroll,
-                        gamma=self.lookup_gamma,
-                    )
+                    if self.beam:
+                        self.state = _beam_engine_step(
+                            self.model.params, self.cfg, self.state,
+                            self.unroll, K=self.beam, C=self.max_cands,
+                        )
+                    else:
+                        self.state = _engine_step(
+                            self.model.params, self.cfg, self.state,
+                            self.unroll, gamma=self.lookup_gamma,
+                        )
                     if self.metrics is not None:
                         self.metrics.inc("engine_step_dispatches_total")
                     self._retire_finished()

@@ -287,6 +287,112 @@ def _greedy_decode_jit(
 # ---------------------------------------------------------------------------
 
 
+def _beam_transition(cfg, K: int, C: int, logits, buf, cur_rows,
+                     sum_logprobs, fin_toks, fin_scores, fin_count,
+                     last, prev, max_ts):
+    """One beam-search selection step over B groups of K hypothesis rows.
+
+    Shared by the batch beam loop (``beam_decode``, all groups in lockstep)
+    and the continuous-batching engine (``decode/engine.py``, each group at
+    its own position).  ``logits`` (B*K, V) are the decoder outputs for the
+    tokens at ``cur_rows - 1``; ``cur_rows`` (B*K,) int32 is each row's
+    write position, constant within a group.  Returns the updated
+    (buf, sum_logprobs, fin_toks, fin_scores, fin_count, last, prev,
+    max_ts) plus ``flat_src`` — the parent-row gather the caller must apply
+    to its self-attention cache — and ``new_tok``, the (B*K,) tokens just
+    written.  Reference: BeamSearchDecoder.update, decoding.py:323-380.
+    """
+    BK = logits.shape[0]
+    B = BK // K
+    eot = cfg.eot
+    W = buf.shape[1]
+
+    filtered = apply_filters(cfg.filters, logits, cur_rows, last, prev, max_ts)
+    logprobs = _log_softmax(filtered)  # (BK, V)
+    cand = sum_logprobs[:, None] + logprobs  # (BK, V)
+    top_lp, top_id = jax.lax.top_k(cand, K + 1)  # (BK, K+1)
+    top_lp = top_lp.reshape(B, K * (K + 1))
+    top_id = top_id.reshape(B, K * (K + 1))
+    parent = jnp.tile(
+        jnp.repeat(jnp.arange(K), K + 1)[None, :], (B, 1)
+    )  # (B, K(K+1)) source beam of each candidate
+
+    order = jnp.argsort(-top_lp, axis=-1)
+    s_lp = jnp.take_along_axis(top_lp, order, axis=-1)
+    s_id = jnp.take_along_axis(top_id, order, axis=-1)
+    s_parent = jnp.take_along_axis(parent, order, axis=-1)
+    s_eot = s_id == eot
+
+    # Reference scan semantics (decoding.py:348-360): walk candidates in
+    # score order; eot -> finished set, others -> next beams; stop once
+    # beam_size non-eot are saved.
+    noneot_excl = jnp.cumsum(~s_eot, axis=-1) - (~s_eot).astype(jnp.int32)
+    processed = noneot_excl < K
+
+    # --- select the K continuing beams ---
+    live = ~s_eot & processed
+    slot = jnp.where(live, noneot_excl, K)  # target beam slot, K = drop
+
+    # scatter candidates into slots 0..K-1
+    def scatter_rows(slot_row, val_row, fill):
+        out = jnp.full((K + 1,), fill, val_row.dtype)
+        out = out.at[slot_row].set(val_row)  # dropped ones hit slot K
+        return out[:K]
+
+    new_lp = jax.vmap(scatter_rows, (0, 0, None))(slot, s_lp, -jnp.inf)
+    new_id = jax.vmap(scatter_rows, (0, 0, None))(slot, s_id, eot)
+    new_parent = jax.vmap(scatter_rows, (0, 0, None))(slot, s_parent, 0)
+
+    # --- gather parent state into the new beam order ---
+    pre_buf = buf  # pre-gather buffers (finished-candidate prefixes below)
+    flat_src = (jnp.arange(B)[:, None] * K + new_parent).reshape(-1)  # (BK,)
+    buf = buf[flat_src]
+    new_tok = new_id.reshape(-1).astype(jnp.int32)
+    # cur_rows is group-constant, so it is invariant under the parent gather
+    buf = jax.vmap(lambda row, i, t: row.at[i].set(t))(buf, cur_rows, new_tok)
+    last = last[flat_src]
+    prev = prev[flat_src]
+    max_ts = max_ts[flat_src]
+    last, prev, max_ts = _update_ts_state(
+        last, prev, max_ts, new_tok, cfg.timestamp_begin
+    )
+    sum_logprobs = new_lp.reshape(-1)
+
+    # --- append eligible finished candidates (bounded by C) ---
+    # Vectorized bounded-set append (replaces a serial scan over the
+    # K(K+1) candidates): eligible destinations are unique per audio
+    # (eot_rank is a running count), so one scatter commits them all;
+    # ineligible candidates route to an overflow slot C that is dropped.
+    elig = s_eot & processed
+    eot_rank = jnp.cumsum(elig, axis=-1) - elig.astype(jnp.int32)
+    dest = fin_count[:, None] + eot_rank  # (B, K(K+1))
+    can_add = elig & (dest < C)
+    dest_c = jnp.where(can_add, dest, C)
+
+    parent_bufs = pre_buf.reshape(B, K, W)
+    cand_bufs = jnp.take_along_axis(
+        parent_bufs, s_parent[:, :, None], axis=1
+    )  # (B, K(K+1), W): each candidate's parent prefix
+    cur_g = cur_rows.reshape(B, K)[:, 0]  # (B,) per-group position
+    cand_bufs = jax.vmap(lambda cb, i: cb.at[:, i].set(eot))(cand_bufs, cur_g)
+    ft_ext = jnp.concatenate(
+        [fin_toks, jnp.zeros((B, 1, W), fin_toks.dtype)], axis=1
+    )
+    fs_ext = jnp.concatenate(
+        [fin_scores, jnp.zeros((B, 1), fin_scores.dtype)], axis=1
+    )
+    fin_toks = jax.vmap(lambda ft, d, v: ft.at[d].set(v))(
+        ft_ext, dest_c, cand_bufs
+    )[:, :C]
+    fin_scores = jax.vmap(lambda fs, d, v: fs.at[d].set(v))(
+        fs_ext, dest_c, s_lp
+    )[:, :C]
+    fin_count = jnp.minimum(fin_count + jnp.sum(elig, axis=-1), C)
+
+    return (buf, sum_logprobs, fin_toks, fin_scores, fin_count,
+            last, prev, max_ts, flat_src, new_tok)
+
+
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "max_candidates",
                                    "encode"))
 def beam_decode(
@@ -353,46 +459,12 @@ def beam_decode(
         (i, buf, cur_len, cache, sum_logprobs, logits, fin_toks, fin_scores,
          fin_count, last, prev, max_ts) = state
 
-        filtered = apply_filters(cfg.filters, logits, cur_len, last, prev, max_ts)
-        logprobs = _log_softmax(filtered)  # (BK, V)
-        cand = sum_logprobs[:, None] + logprobs  # (BK, V)
-        top_lp, top_id = jax.lax.top_k(cand, K + 1)  # (BK, K+1)
-        top_lp = top_lp.reshape(B, K * (K + 1))
-        top_id = top_id.reshape(B, K * (K + 1))
-        parent = jnp.tile(
-            jnp.repeat(jnp.arange(K), K + 1)[None, :], (B, 1)
-        )  # (B, K(K+1)) source beam of each candidate
-
-        order = jnp.argsort(-top_lp, axis=-1)
-        s_lp = jnp.take_along_axis(top_lp, order, axis=-1)
-        s_id = jnp.take_along_axis(top_id, order, axis=-1)
-        s_parent = jnp.take_along_axis(parent, order, axis=-1)
-        s_eot = s_id == eot
-
-        # Reference scan semantics (decoding.py:348-360): walk candidates in
-        # score order; eot -> finished set, others -> next beams; stop once
-        # beam_size non-eot are saved.
-        noneot_excl = jnp.cumsum(~s_eot, axis=-1) - (~s_eot).astype(jnp.int32)
-        processed = noneot_excl < K
-
-        # --- select the K continuing beams ---
-        live = ~s_eot & processed
-        slot = jnp.where(live, noneot_excl, K)  # target beam slot, K = drop
-        # scatter candidates into slots 0..K-1
-        def scatter_rows(slot_row, val_row, fill):
-            out = jnp.full((K + 1,), fill, val_row.dtype)
-            out = out.at[slot_row].set(val_row)  # dropped ones hit slot K
-            return out[:K]
-
-        new_lp = jax.vmap(scatter_rows, (0, 0, None))(slot, s_lp, -jnp.inf)
-        new_id = jax.vmap(scatter_rows, (0, 0, None))(slot, s_id, eot)
-        new_parent = jax.vmap(scatter_rows, (0, 0, None))(slot, s_parent, 0)
-
-        # --- gather parent state into the new beam order ---
-        flat_src = (jnp.arange(B)[:, None] * K + new_parent).reshape(-1)  # (BK,)
-        buf = buf[flat_src]
-        new_tok = new_id.reshape(-1).astype(jnp.int32)
-        buf = jax.vmap(lambda row, t: row.at[cur_len].set(t))(buf, new_tok)
+        cur_rows = jnp.full((BK,), cur_len, jnp.int32)
+        (buf, sum_logprobs, fin_toks, fin_scores, fin_count, last, prev,
+         max_ts, flat_src, new_tok) = _beam_transition(
+            cfg, K, C, logits, buf, cur_rows, sum_logprobs,
+            fin_toks, fin_scores, fin_count, last, prev, max_ts,
+        )
         # Rearrange only the self-attention cache: beams never cross audio
         # groups, and the cross cache is stored once per AUDIO (not per beam),
         # so it needs no gather at all.
@@ -401,43 +473,6 @@ def beam_decode(
             "self_k": [k[flat_src] for k in cache["self_k"]],
             "self_v": [v[flat_src] for v in cache["self_v"]],
         }
-        last = last[flat_src]
-        prev = prev[flat_src]
-        max_ts = max_ts[flat_src]
-        last, prev, max_ts = _update_ts_state(
-            last, prev, max_ts, new_tok, cfg.timestamp_begin
-        )
-        sum_logprobs = new_lp.reshape(-1)
-
-        # --- append eligible finished candidates (bounded by C) ---
-        # Vectorized bounded-set append (replaces a serial scan over the
-        # K(K+1) candidates): eligible destinations are unique per audio
-        # (eot_rank is a running count), so one scatter commits them all;
-        # ineligible candidates route to an overflow slot C that is dropped.
-        elig = s_eot & processed
-        eot_rank = jnp.cumsum(elig, axis=-1) - elig.astype(jnp.int32)
-        dest = fin_count[:, None] + eot_rank  # (B, K(K+1))
-        can_add = elig & (dest < C)
-        dest_c = jnp.where(can_add, dest, C)
-
-        parent_bufs = state[1].reshape(B, K, n_ctx + 1)  # pre-gather buffers
-        cand_bufs = jnp.take_along_axis(
-            parent_bufs, s_parent[:, :, None], axis=1
-        )  # (B, K(K+1), n_ctx+1): each candidate's parent prefix
-        cand_bufs = cand_bufs.at[:, :, cur_len].set(eot)
-        ft_ext = jnp.concatenate(
-            [fin_toks, jnp.zeros((B, 1, n_ctx + 1), fin_toks.dtype)], axis=1
-        )
-        fs_ext = jnp.concatenate(
-            [fin_scores, jnp.zeros((B, 1), fin_scores.dtype)], axis=1
-        )
-        fin_toks = jax.vmap(lambda ft, d, v: ft.at[d].set(v))(
-            ft_ext, dest_c, cand_bufs
-        )[:, :C]
-        fin_scores = jax.vmap(lambda fs, d, v: fs.at[d].set(v))(
-            fs_ext, dest_c, s_lp
-        )[:, :C]
-        fin_count = jnp.minimum(fin_count + jnp.sum(elig, axis=-1), C)
 
         step_logits, cache_g = model.decoder_step(
             params["decoder"], new_tok[:, None], cache_g, cfg.dims,

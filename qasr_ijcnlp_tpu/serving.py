@@ -807,7 +807,8 @@ def main(argv=None):
     p.add_argument("--engine_slots", type=int, default=None,
                    help="Route short requests through the continuous-"
                         "batching DecodeEngine with this many slots "
-                        "(no head-of-line blocking; greedy-only)")
+                        "(no head-of-line blocking; greedy or beam pools "
+                        "at temperature 0)")
     p.add_argument("--engine_lookup_gamma", type=int, default=0,
                    help="Prompt-lookup speculative rounds in the engine: "
                         "up to gamma+1 tokens per slot per forward "

@@ -145,7 +145,7 @@ def test_engine_rejects_non_greedy(model):
     from qasr_ijcnlp_tpu.decode import DecodingOptions
     from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
 
-    with pytest.raises(ValueError, match="greedy-only"):
+    with pytest.raises(ValueError, match="temperature 0"):
         DecodeEngine(
             model, DecodingOptions(language="en", temperature=0.5)
         )
