@@ -84,8 +84,11 @@ class StreamingTranscriber:
         end) — results accumulate in the ``words`` output field with
         stream-absolute times."""
         options = options or DecodingOptions()
-        if options.temperature != 0 or options.beam_size or options.best_of:
-            raise ValueError("streaming decode is greedy-only")
+        if options.temperature != 0 or options.best_of:
+            raise ValueError(
+                "streaming decodes at temperature 0 (greedy or beam); "
+                "best_of requires sampling"
+            )
         if options.without_timestamps:
             raise ValueError(
                 "streaming needs timestamp tokens (the window-slide policy "

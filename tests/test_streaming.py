@@ -116,7 +116,7 @@ def test_streaming_long_stream_slides_window(model):
 def test_streaming_rejects_bad_options(model):
     from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
 
-    with pytest.raises(ValueError, match="greedy-only"):
+    with pytest.raises(ValueError, match="temperature 0"):
         StreamingTranscriber(model, _opts(temperature=0.5))
     with pytest.raises(ValueError, match="timestamp"):
         StreamingTranscriber(model, _opts(without_timestamps=True))
@@ -213,3 +213,24 @@ def test_streaming_word_timestamps(model):
     # words cover the committed text (same normalized concatenation)
     joined = "".join(w["word"] for w in out["words"])
     assert joined.replace(" ", "") == out["text"].replace(" ", "")
+
+
+def test_streaming_beam_final_matches_one_shot(model):
+    """Beam streaming (deterministic at temperature 0): single-window
+    end() text == the one-shot beam decode of the same audio."""
+    from qasr_ijcnlp_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from qasr_ijcnlp_tpu.decode import decode
+    from qasr_ijcnlp_tpu.streaming import StreamingTranscriber
+
+    audio = _audio(6, 4.0)
+    (expected,) = decode(
+        model, log_mel_spectrogram(pad_or_trim(audio), 80)[None],
+        _opts(beam_size=2),
+    )
+
+    s = StreamingTranscriber(model, _opts(beam_size=2), step_seconds=1.0)
+    for i in range(0, len(audio), 8000):
+        s.feed(audio[i: i + 8000])
+    out = s.end()
+    assert out["text"].strip() == expected.text
+    assert out["partial"] == ""
