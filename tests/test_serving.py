@@ -548,7 +548,7 @@ def test_serve_engine_ctor_failure_closes_transcriber(
         created.append(self)
 
     monkeypatch.setattr(serving.BatchingTranscriber, "__init__", spy)
-    with pytest.raises(ValueError, match="greedy-only"):
+    with pytest.raises(ValueError, match="temperature 0"):
         serving.serve(
             small_model, port=0, block=False,
             options=DecodingOptions(language="en", temperature=0.7),
