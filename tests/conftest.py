@@ -27,3 +27,23 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_state():
+    """Drop compiled executables + tracing caches after every test module.
+
+    The full suite compiles thousands of XLA:CPU programs in one process;
+    with all of them kept live, runs reliably segfaulted INSIDE a later
+    backend compile (~250 tests in, faulthandler stack ending in
+    backend_compile_and_load — observed at different, code-state-dependent
+    tests; host RAM was ample and the in-repo native C++ paths are
+    ASan-clean, pointing at accumulated backend JIT state).  Clearing
+    per-module trades some recompilation for a bounded executable
+    population.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
