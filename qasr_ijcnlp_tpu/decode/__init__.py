@@ -244,6 +244,49 @@ def detect_language(
     return language_tokens, language_probs
 
 
+def _cut_at_eot(seq, sample_begin: int, eot: int) -> List[int]:
+    """Sampled-region tokens up to (excluding) the first eot.  numpy cut +
+    .tolist(): ~3x faster than Python list/index per row."""
+    s = np.asarray(seq)[sample_begin:]
+    hits = np.nonzero(s == eot)[0]
+    return s[: hits[0]].tolist() if hits.size else s.tolist()
+
+
+def finalize_beam_group(fin_toks_g, fin_scores_g, fin_count_g: int,
+                        beams_g, beam_scores_g, K: int, eot: int):
+    """Reference BeamSearchDecoder.finalize (decoding.py:384-404) for ONE
+    audio/request: the bounded finished set, topped up with the best
+    unfinished beams (eot appended) when fewer than beam_size finished.
+    Shared by the batch task (_run_beam) and the engine's beam retirement —
+    the parity-critical math must not fork."""
+    seqs = [list(fin_toks_g[c]) for c in range(fin_count_g)]
+    scores = [float(fin_scores_g[c]) for c in range(fin_count_g)]
+    if len(seqs) < K:
+        for j in np.argsort(beam_scores_g)[::-1]:
+            seqs.append(list(beams_g[j]) + [eot])
+            scores.append(float(beam_scores_g[j]))
+            if len(seqs) >= K:
+                break
+    return seqs, scores
+
+
+def rank_group(sliced: List[List[int]], scores: List[float],
+               length_penalty: Optional[float]) -> int:
+    """MaximumLikelihoodRanker for one group (reference decoding.py:190-213):
+    index of the best candidate under the length penalty."""
+
+    def _score(lp, length):
+        if length_penalty is None:
+            penalty = length
+        else:
+            penalty = ((5 + length) / 6) ** length_penalty
+        return lp / penalty
+
+    return int(
+        np.argmax([_score(p, len(t)) for p, t in zip(scores, sliced)])
+    )
+
+
 class DecodingTask:
     """Host-side planner: resolves options to static loop configs, runs the
     jitted loop, post-processes to DecodingResults."""
@@ -418,19 +461,9 @@ class DecodingTask:
     # -- ranking (reference MaximumLikelihoodRanker, decoding.py:190-213) ----
 
     def _rank(self, tokens: List[List[List[int]]], sum_logprobs: List[List[float]]):
-        def scores(logprobs, lengths):
-            result = []
-            for logprob, length in zip(logprobs, lengths):
-                if self.options.length_penalty is None:
-                    penalty = length
-                else:
-                    penalty = ((5 + length) / 6) ** self.options.length_penalty
-                result.append(logprob / penalty)
-            return result
-
-        lengths = [[len(t) for t in s] for s in tokens]
         return [
-            int(np.argmax(scores(p, l))) for p, l in zip(sum_logprobs, lengths)
+            rank_group(s, p, self.options.length_penalty)
+            for s, p in zip(tokens, sum_logprobs)
         ]
 
     # -- main entry ----------------------------------------------------------
@@ -489,18 +522,13 @@ class DecodingTask:
             out = self._run_greedy(audio_input, init_rep, fuse_encode)
         tokens_lists, logprobs_lists, no_speech_probs, audio_features = out
 
-        # slice sampled region and cut at eot (numpy cut + .tolist(): ~3x
-        # faster than Python `list(row)` + `.index(eot)` per row — the host
-        # post-processing is ~5% of a large-batch decode call)
+        # slice sampled region and cut at eot (the host post-processing is
+        # ~5% of a large-batch decode call)
         eot = tokenizer.eot
-        sliced: List[List[List[int]]] = []
-        for group in tokens_lists:
-            row = []
-            for seq in group:
-                s = np.asarray(seq)[self.sample_begin:]
-                hits = np.nonzero(s == eot)[0]
-                row.append(s[: hits[0]].tolist() if hits.size else s.tolist())
-            sliced.append(row)
+        sliced: List[List[List[int]]] = [
+            [_cut_at_eot(seq, self.sample_begin, eot) for seq in group]
+            for group in tokens_lists
+        ]
 
         selected = self._rank(sliced, logprobs_lists)
         tokens = [g[i] for i, g in zip(selected, sliced)]
@@ -613,19 +641,12 @@ class DecodingTask:
             )
         )
 
-        # Finalize (reference BeamSearchDecoder.finalize, decoding.py:384-404):
-        # top up with unfinished beams when fewer than beam_size finished.
         tokens_lists, logprob_lists = [], []
         for b in range(beams.shape[0]):
-            seqs = [list(fin_toks[b, c]) for c in range(int(fin_count[b]))]
-            scores = [float(fin_scores[b, c]) for c in range(int(fin_count[b]))]
-            if len(seqs) < K:
-                for j in np.argsort(beam_scores[b])[::-1]:
-                    seq = list(beams[b, j]) + [self.tokenizer.eot]
-                    seqs.append(seq)
-                    scores.append(float(beam_scores[b, j]))
-                    if len(seqs) >= K:
-                        break
+            seqs, scores = finalize_beam_group(
+                fin_toks[b], fin_scores[b], int(fin_count[b]),
+                beams[b], beam_scores[b], K, self.tokenizer.eot,
+            )
             tokens_lists.append(seqs)
             logprob_lists.append(scores)
         return tokens_lists, logprob_lists, no_speech, xa

@@ -80,6 +80,36 @@ class _EngineState(NamedTuple):
     cross_sv: tuple = ()
 
 
+def _admit_frontend(params, cfg: LoopConfig, mels, init_tokens, scales,
+                    audio_frontend: bool, lang_mask, detect: bool):
+    """Shared admission preamble for the greedy and beam pools: optional
+    in-program mel (int16 wire dequant), encode, optional per-request
+    language id (reference protocol, whisper/decoding.py:18-77) written
+    into the prompt's language slot.  Returns (xa, init_tokens, lang_tok);
+    lang_tok is -1 for fixed-language pools."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    A = mels.shape[0]
+    if audio_frontend:
+        from ..audio import log_mel_spectrogram
+
+        mels = log_mel_spectrogram(
+            mels.astype(jnp.float32) * scales[:, None], cfg.dims.n_mels
+        )
+    xa = _encode_audio(params, mels, cfg)
+    if detect:
+        sot_tok = init_tokens[:, cfg.sot_index: cfg.sot_index + 1]
+        lang_logits = model.decoder_apply(
+            params["decoder"], sot_tok, xa, cfg.dims, dt
+        )[:, 0].astype(jnp.float32)
+        lang_tok = jnp.argmax(
+            jnp.where(lang_mask, lang_logits, -jnp.inf), axis=-1
+        ).astype(jnp.int32)
+        init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
+    else:
+        lang_tok = jnp.full((A,), -1, jnp.int32)
+    return xa, init_tokens, lang_tok
+
+
 def _cache_of(state: _EngineState) -> Dict:
     cache = {
         "self_k": list(state.self_k),
@@ -200,30 +230,11 @@ def _engine_admit(
     With ``audio_frontend`` the mel runs INSIDE this same program (audio
     crosses the (possibly tunneled) link as int16 — half the bytes — and
     admission costs ONE dispatch total, like the fused decode loop)."""
-    dt = jnp.dtype(cfg.compute_dtype)
     A = mels.shape[0]
-    if audio_frontend:
-        from ..audio import log_mel_spectrogram
-
-        mels = log_mel_spectrogram(
-            mels.astype(jnp.float32) * scales[:, None], cfg.dims.n_mels
-        )
-    xa = _encode_audio(params, mels, cfg)
-    if detect:
-        # Per-request language id, same program: one sot-token decoder
-        # forward (reference protocol, whisper/decoding.py:18-77) picks the
-        # language token, which then overwrites the language slot of this
-        # row's prompt before the prompt pass below.
-        sot_tok = init_tokens[:, cfg.sot_index: cfg.sot_index + 1]
-        lang_logits = model.decoder_apply(
-            params["decoder"], sot_tok, xa, cfg.dims, dt
-        )[:, 0].astype(jnp.float32)
-        lang_tok = jnp.argmax(
-            jnp.where(lang_mask, lang_logits, -jnp.inf), axis=-1
-        ).astype(jnp.int32)
-        init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
-    else:
-        lang_tok = jnp.full((A,), -1, jnp.int32)
+    xa, init_tokens, lang_tok = _admit_frontend(
+        params, cfg, mels, init_tokens, scales, audio_frontend, lang_mask,
+        detect,
+    )
     sub, last_logits, no_speech = _prompt_pass(
         params, cfg, xa, init_tokens, ctx=tmax
     )
@@ -418,26 +429,11 @@ def _beam_admit(
     """Encode + prompt-pass A requests, run their FIRST beam transition from
     the prompt logits (so the pool's groups are uniformly 'forward then
     transition'), and scatter the K-row groups into their slots."""
-    dt = jnp.dtype(cfg.compute_dtype)
     A = mels.shape[0]
-    if audio_frontend:
-        from ..audio import log_mel_spectrogram
-
-        mels = log_mel_spectrogram(
-            mels.astype(jnp.float32) * scales[:, None], cfg.dims.n_mels
-        )
-    xa = _encode_audio(params, mels, cfg)
-    if detect:
-        sot_tok = init_tokens[:, cfg.sot_index: cfg.sot_index + 1]
-        lang_logits = model.decoder_apply(
-            params["decoder"], sot_tok, xa, cfg.dims, dt
-        )[:, 0].astype(jnp.float32)
-        lang_tok = jnp.argmax(
-            jnp.where(lang_mask, lang_logits, -jnp.inf), axis=-1
-        ).astype(jnp.int32)
-        init_tokens = init_tokens.at[:, cfg.sot_index + 1].set(lang_tok)
-    else:
-        lang_tok = jnp.full((A,), -1, jnp.int32)
+    xa, init_tokens, lang_tok = _admit_frontend(
+        params, cfg, mels, init_tokens, scales, audio_frontend, lang_mask,
+        detect,
+    )
     init_rep = jnp.repeat(init_tokens, K, axis=0)  # (A*K, sb)
     sub, last_logits, no_speech_all = _prompt_pass(
         params, cfg, xa, init_rep, ctx=tmax
@@ -615,7 +611,6 @@ class DecodeEngine:
 
         self.lookup_gamma = lookup_gamma
         dims = model_obj.dims
-        dt = jnp.dtype(self.cfg.compute_dtype)
         # spec rounds write K/V up to anchor + gamma past the last
         # committable position
         reach = (
@@ -624,24 +619,36 @@ class DecodeEngine:
         )
         self.tmax = min(dims.n_text_ctx, (reach + 15) // 16 * 16)
         if self.beam:
-            # G = slots request groups x K hypothesis rows; cross-KV once
-            # per group (grouped cross-attention); bounded finished set of
-            # C = round(K * patience) candidates (reference decoding.py:318).
-            K = self.beam
+            # bounded finished set of C = round(K * patience) candidates
+            # (reference decoding.py:318)
             self.max_cands = max(
-                round(K * (self.task.options.patience or 1.0)), 1
+                round(self.beam * (self.task.options.patience or 1.0)), 1
             )
+        self.state = self._fresh_state()
+        self._post_init()
+
+    def _fresh_state(self):
+        """An empty slot pool for the configured mode (also used to rebuild
+        after a dispatch consumed the donated pool and then failed)."""
+        dims = self.model.dims
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        slots = self.slots
+        sb1 = self.cfg.sample_begin + 1
+        if self.beam:
+            # G = slots request groups x K hypothesis rows; cross-KV once
+            # per group (grouped cross-attention).
+            K = self.beam
             proto = model.init_kv_cache(
                 dims, slots * K, dt, cross_batch=slots, ctx=self.tmax
             )
             W = dims.n_text_ctx + 1
-            self.state = _BeamState(
+            return _BeamState(
                 self_k=tuple(proto["self_k"]),
                 self_v=tuple(proto["self_v"]),
                 cross_k=tuple(proto["cross_k"]),
                 cross_v=tuple(proto["cross_v"]),
                 buf=jnp.full((slots * K, W), self.cfg.eot, jnp.int32),
-                cur=jnp.full((slots,), task.sample_begin + 1, jnp.int32),
+                cur=jnp.full((slots,), sb1, jnp.int32),
                 done=jnp.ones((slots,), bool),
                 sum_lp=jnp.zeros((slots * K,), jnp.float32),
                 fin_toks=jnp.full(
@@ -657,8 +664,6 @@ class DecodeEngine:
                 no_speech=jnp.full((slots,), jnp.nan, jnp.float32),
                 lang=jnp.full((slots,), -1, jnp.int32),
             )
-            self._post_init()
-            return
         proto = model.init_kv_cache(
             dims, slots, dt, ctx=self.tmax, cross_int8=self.cfg.kv_int8
         )
@@ -676,14 +681,14 @@ class DecodeEngine:
                 cross_k=tuple(proto["cross_k"]),
                 cross_v=tuple(proto["cross_v"]),
             )
-        self.state = _EngineState(
+        state = _EngineState(
             self_k=tuple(proto["self_k"]),
             self_v=tuple(proto["self_v"]),
             **cross,
             buf=jnp.full(
                 (slots, dims.n_text_ctx + 1), self.cfg.eot, jnp.int32
             ),
-            cur=jnp.full((slots,), task.sample_begin + 1, jnp.int32),
+            cur=jnp.full((slots,), sb1, jnp.int32),
             finished=jnp.ones((slots,), bool),
             last=jnp.full((slots,), -1, jnp.int32),
             prev=jnp.full((slots,), -1, jnp.int32),
@@ -696,10 +701,35 @@ class DecodeEngine:
             from jax.sharding import NamedSharding, PartitionSpec
 
             s = NamedSharding(self.mesh, PartitionSpec("data"))
-            self.state = jax.tree.map(
-                lambda x: jax.device_put(x, s), self.state
+            state = jax.tree.map(lambda x: jax.device_put(x, s), state)
+        return state
+
+    def _recover_state_if_deleted(self):
+        """After a failed dispatch: the step/admit programs DONATE the pool
+        (donate_argnums), so a runtime failure that fired after the donation
+        leaves self.state pointing at deleted buffers and every later
+        dispatch would raise forever.  Detect that and rebuild an empty
+        pool; any request still occupying a slot has lost its kv-state, so
+        it is failed (waiters whose result already arrived are left alone).
+        """
+        try:
+            dead = any(
+                getattr(x, "is_deleted", lambda: False)()
+                for x in jax.tree.leaves(self.state)
             )
-        self._post_init()
+        except Exception:
+            dead = True
+        if not dead:
+            return
+        for i, req in enumerate(self._occupant):
+            if req is not None:
+                if req.result is None and req.error is None:
+                    req.error = (
+                        "engine pool lost (device failure mid-dispatch)"
+                    )
+                req.event.set()
+                self._occupant[i] = None
+        self.state = self._fresh_state()
 
     def _post_init(self):
         """Host-side scheduling state + worker start (shared by the greedy
@@ -831,6 +861,9 @@ class DecodeEngine:
                 for req in take:
                     req.error = msg
                     req.event.set()
+                # a failure AFTER the dispatch consumed the donated pool
+                # would otherwise brick every later step/admit
+                self._recover_state_if_deleted()
                 return
             self.admit_calls += 1
             for slot, req in zip(ids, take):
@@ -854,38 +887,21 @@ class DecodeEngine:
                  self.state.no_speech, self.state.lang)
             )
         )
+        from . import _cut_at_eot, finalize_beam_group, rank_group
+
         K, eot, sb = self.beam, self.cfg.eot, self.cfg.sample_begin
         lp_alpha = self.task.options.length_penalty
         for g in retire:
             req = self._occupant[g]
-            # Finalize (reference BeamSearchDecoder.finalize, decoding.py:
-            # 384-404): top up with unfinished beams when fewer than
-            # beam_size finished.  The pool buffer's eot-filled tail plays
-            # the reference's appended eot.
-            seqs = [fin_toks[g, c] for c in range(int(fin_count[g]))]
-            scores = [float(fin_scores[g, c]) for c in range(int(fin_count[g]))]
-            if len(seqs) < K:
-                beam_scores = sum_lp[g * K: (g + 1) * K]
-                for j in np.argsort(beam_scores)[::-1]:
-                    seqs.append(buf[g * K + j])
-                    scores.append(float(beam_scores[j]))
-                    if len(seqs) >= K:
-                        break
-            sliced = []
-            for seq in seqs:
-                s = np.asarray(seq)[sb:]
-                hits = np.nonzero(s == eot)[0]
-                sliced.append(s[: hits[0]].tolist() if hits.size else s.tolist())
-            # MaximumLikelihoodRanker (decode/__init__.py _rank)
-            def _score(lp, length):
-                pen = (
-                    length if lp_alpha is None
-                    else ((5 + length) / 6) ** lp_alpha
-                )
-                return lp / pen
-            best = int(np.argmax(
-                [_score(p, len(t)) for p, t in zip(scores, sliced)]
-            ))
+            # Same finalize + ranker as the batch task (_run_beam) — the
+            # parity-critical math lives once, in decode/__init__.py.
+            seqs, scores = finalize_beam_group(
+                fin_toks[g], fin_scores[g], int(fin_count[g]),
+                buf[g * K: (g + 1) * K], sum_lp[g * K: (g + 1) * K],
+                K, eot,
+            )
+            sliced = [_cut_at_eot(seq, sb, eot) for seq in seqs]
+            best = rank_group(sliced, scores, lp_alpha)
             ids = sliced[best]
             text = self.tokenizer.decode(ids).strip()
             req.result = {
@@ -989,3 +1005,6 @@ class DecodeEngine:
                         req.error = msg
                         req.event.set()
                         self._occupant[i] = None
+                # a failure AFTER the dispatch consumed the donated pool
+                # would otherwise brick every later step/admit
+                self._recover_state_if_deleted()

@@ -411,7 +411,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
             )
         except Exception:
             # don't leak the already-started transcriber workers when the
-            # options are engine-incompatible (e.g. beam/temperature)
+            # options are engine-incompatible (e.g. sampling temperature)
             transcriber.close()
             if engine is not None:
                 engine.close()
@@ -457,7 +457,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
                         metrics=transcriber.metrics,
                     )
                 except Exception as e:
-                    # e.g. beam options, or no HBM left for a third pool:
+                    # e.g. sampling options, or no HBM left for a third pool:
                     # the server still works, >30 s requests just serialize
                     # under long_lock — but say so instead of hiding it.
                     print(
@@ -769,7 +769,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8077,
         def long_engine(self):
             # Builds the pool on first access, exactly as the first >30 s
             # request would; None when engine_slots is unset or the pool
-            # can't be built (beam options / no HBM headroom).
+            # can't be built (sampling options / no HBM headroom).
             return _get_long_engine()
 
     server = Server((host, port), Handler)

@@ -18,7 +18,8 @@ entirely:
   stay bounded on unbounded streams.
 * ``end()`` decodes the remaining audio once more and commits everything.
 
-Every decode is the package's plain greedy decode (one jitted program per
+Every decode is the package's plain temperature-0 decode — greedy, or
+beam search when ``options.beam_size`` is set (one jitted program per
 shape — the window is always padded to 30 s, so ONE compiled program
 serves the whole stream).  Serving exposes this as the session API
 ``POST /v1/stream/sessions`` (serving.py).

@@ -323,3 +323,25 @@ def test_engine_data_parallel_mesh_parity(model):
             mesh_model, DecodingOptions(fp16=False, language="en"),
             slots=3, mesh=mesh,
         )
+
+
+def test_engine_recovers_after_pool_loss(model):
+    """A dispatch failure that already consumed the donated slot pool must
+    not brick the engine: the worker detects the deleted buffers, rebuilds
+    an empty pool, and later submits decode correctly."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.decode.engine import DecodeEngine
+
+    expected = _reference_tokens(model, [33], sample_len=8)[33]
+    engine = DecodeEngine(
+        model, DecodingOptions(fp16=False, language="en", sample_len=8),
+        slots=2,
+    )
+    try:
+        assert engine.submit(_mel(33), timeout=300)["tokens"] == expected
+        jax.tree.map(lambda x: x.delete(), engine.state)  # simulate loss
+        with pytest.raises((RuntimeError, TimeoutError)):
+            engine.submit(_mel(33), timeout=300)
+        assert engine.submit(_mel(33), timeout=300)["tokens"] == expected
+    finally:
+        engine.close()
