@@ -54,6 +54,14 @@ def build_parser():
                         "rendezvous timeout - use real accelerator meshes "
                         "(tiny-shape CPU-mesh validation lives in "
                         "tests/test_parallel.py and __graft_entry__.py)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: slice params + Adam moments along the data "
+                        "axis (implies an SPMD mesh; combine with "
+                        "--model_parallel for 2D TP x FSDP sharding). The "
+                        "same virtual-CPU-mesh caveat as --model_parallel "
+                        "applies (XLA:CPU 40s rendezvous timeout at real "
+                        "widths; tests/test_fsdp.py validates on tiny "
+                        "shapes)")
     return p
 
 
@@ -90,11 +98,12 @@ def main(argv=None):
     print_training_header(f"classical whisper {args.model_size} (token-level)",
                           args.epochs, args.lr, args.batch_size)
     mesh = None
-    if args.model_parallel:
+    if args.model_parallel or args.fsdp:
         from .. import parallel
 
-        mesh = parallel.make_mesh(model_parallel=args.model_parallel)
-        print(f"SPMD mesh: {mesh.devices.shape} (data, model)")
+        mesh = parallel.make_mesh(model_parallel=args.model_parallel or 1)
+        print(f"SPMD mesh: {mesh.devices.shape} (data, model)"
+              + (" + fsdp" if args.fsdp else ""))
     steps_per_epoch = max(len(train_loader), 1)
     out = train_token_asr(
         params,
@@ -108,6 +117,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         history_path="classical_whisper_asr_training_history.json",
         mesh=mesh,
+        fsdp=args.fsdp,
         grad_accum=args.grad_accum,
         save_state_every=args.save_every,
         resume_state=args.resume_state,

@@ -134,8 +134,33 @@ def _path_keys(path) -> tuple:
     return tuple(keys)
 
 
+def _fsdp_augment(spec: P, shape, mesh: Mesh, min_size: int) -> P:
+    """Add a ``data``-axis shard to the largest still-replicated dim of a
+    weight leaf (ZeRO-3 / fully-sharded data parallel).
+
+    Small leaves (LN scales, biases — below ``min_size`` elements) stay
+    replicated: gathering them individually costs latency without saving
+    meaningful HBM.  A dim is only sharded when its size divides the data
+    extent — sharding degrades, never refuses (same contract as the TP
+    demotion in :func:`param_specs`)."""
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data <= 1 or not shape:
+        return spec
+    if int(np.prod(shape)) < min_size:
+        return spec
+    full = list(spec) + [None] * (len(shape) - len(spec))
+    for dim in sorted(range(len(shape)), key=lambda d: -shape[d]):
+        if full[dim] is None and shape[dim] % n_data == 0:
+            full[dim] = DATA_AXIS
+            return P(*full)
+    return spec
+
+
 def param_specs(
-    params: Dict[str, Any], mesh: Optional[Mesh] = None
+    params: Dict[str, Any],
+    mesh: Optional[Mesh] = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = 65536,
 ) -> Dict[str, Any]:
     """PartitionSpec pytree for a Whisper (or quantum-Whisper) param tree.
 
@@ -143,7 +168,19 @@ def param_specs(
     mesh-axis extent is demoted to replicated (e.g. the 51865-token vocab
     embedding under model-parallel 2) - sharding must never change results
     or refuse a model.
+
+    ``fsdp=True`` additionally shards every large weight leaf along the
+    ``data`` axis (ZeRO-3: parameters and, via ``train.shard_state``, the
+    Adam moments live sliced across the data-parallel group; XLA inserts the
+    per-use all-gathers and the reduce-scatter on the gradients).  Composes
+    with TP: a leaf already sharded along ``model`` gets its largest
+    remaining dim sharded along ``data``.  There is no torch-style wrapper
+    class to port — on TPU, FSDP *is* a sharding annotation (the reference
+    is single-device throughout, SURVEY.md §2.5).
     """
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a mesh (the data extent "
+                         "determines the shard layout)")
 
     def fit(spec: P, shape) -> P:
         if mesh is None:
@@ -157,15 +194,17 @@ def param_specs(
 
     def spec(path, leaf):
         keys = _path_keys(path)
+        s = P()
         if "blocks" in keys:
             i = keys.index("blocks")
             rule = _BLOCK_RULES.get(keys[i + 1 :])
             if rule is not None:
-                return fit(rule, leaf.shape)
-            return P()
-        if keys[-2:] == ("decoder", "tok_emb") or keys[-1] == "tok_emb":
-            return fit(P(MODEL_AXIS, None), leaf.shape)
-        return P()
+                s = fit(rule, leaf.shape)
+        elif keys[-2:] == ("decoder", "tok_emb") or keys[-1] == "tok_emb":
+            s = fit(P(MODEL_AXIS, None), leaf.shape)
+        if fsdp:
+            s = _fsdp_augment(s, leaf.shape, mesh, fsdp_min_size)
+        return s
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

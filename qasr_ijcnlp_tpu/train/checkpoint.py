@@ -196,14 +196,15 @@ def save_train_state(path: str, state, metadata: Optional[dict] = None) -> None:
     )
 
 
-def restore_train_state(path: str, template, mesh=None):
+def restore_train_state(path: str, template, mesh=None, fsdp: bool = False):
     """Restore a TrainState saved by :func:`save_train_state`.
 
     ``template`` is a structurally matching state (e.g. a fresh
     ``train.init_state(params, tx)``); leaf dtypes are coerced to the
     template's.  With ``mesh``, the restored state is placed with its
     TP/replicated shardings (``train.shard_state``) ready for the sharded
-    step.
+    step; ``fsdp=True`` re-slices params + moments along the data axis
+    (resume works across layouts — the save gathers to host).
     """
     import jax
 
@@ -217,7 +218,7 @@ def restore_train_state(path: str, template, mesh=None):
     if mesh is not None:
         from .step import shard_state
 
-        state = shard_state(state, mesh)
+        state = shard_state(state, mesh, fsdp=fsdp)
     return state
 
 

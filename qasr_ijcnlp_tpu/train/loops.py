@@ -410,6 +410,7 @@ def train_token_asr(
     history_path: Optional[str] = None,
     compute_dtype: str = "float32",
     mesh=None,
+    fsdp: bool = False,
     grad_accum: int = 1,
     save_state_every: int = 0,
     resume_state: Optional[str] = None,
@@ -420,6 +421,9 @@ def train_token_asr(
 
     Pass a ``jax.sharding.Mesh`` to train SPMD: params/optimizer sharded by
     parallel.param_specs (TP on the 'model' axis), batches on 'data'.
+    ``fsdp=True`` (ZeRO-3) additionally slices params + Adam moments along
+    the data axis — per-device optimizer memory shrinks ~linearly with the
+    data extent (parallel.param_specs fsdp mode).
 
     ``save_state_every`` > 0 writes a FULL TrainState (params + Adam moments
     + step) checkpoint every N epochs, and the best-WER save includes the
@@ -460,14 +464,14 @@ def train_token_asr(
             whisper_sum_loss_fn(dims, compute_dtype, mesh=mesh), tx, grad_accum
         )
     if mesh is not None:
-        state = shard_state(state, mesh)
+        state = shard_state(state, mesh, fsdp=fsdp)
         step = make_sharded_train_step(loss_fn, tx, mesh, step_fn=accum_step)
     else:
         step = jax.jit(accum_step or make_train_step(loss_fn, tx),
                        donate_argnums=(0,))
     start_epoch = 0
     if resume_state:
-        state = restore_train_state(resume_state, state, mesh=mesh)
+        state = restore_train_state(resume_state, state, mesh=mesh, fsdp=fsdp)
         # Resume the EPOCH loop where the restored optimizer step left off:
         # the step counter increments once per loader batch, so step //
         # steps_per_epoch is the number of completed epochs.  Without this

@@ -60,15 +60,28 @@ def init_state(params, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+def shard_state(
+    state: TrainState,
+    mesh: Mesh,
+    fsdp: bool = False,
+    fsdp_min_size: int = 65536,
+) -> TrainState:
     """Place a TrainState on the mesh: params take the TP specs; optimizer
     moments (same tree structure as params, nested inside the optax state)
     take the matching param spec; scalars/schedule counters are replicated.
 
+    ``fsdp=True`` = ZeRO-3: large weight leaves (and their Adam moments,
+    which inherit the param specs below) are additionally sliced along the
+    ``data`` axis, so per-device optimizer memory shrinks ~linearly with the
+    data extent; XLA all-gathers params where used and reduce-scatters the
+    gradients (see parallel.param_specs).
+
     Note: device_put may alias the input buffers (e.g. replicated leaves
     already on a mesh device).  The sharded step donates its state, so treat
     the un-sharded state as consumed after this call."""
-    pspecs = parallel.param_specs(state.params, mesh)
+    pspecs = parallel.param_specs(
+        state.params, mesh, fsdp=fsdp, fsdp_min_size=fsdp_min_size
+    )
     pdef = jax.tree.structure(state.params)
 
     def put(x, spec):
