@@ -35,6 +35,11 @@ def main(argv=None):
                         "tunnel) to bake bf16 compute")
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--no_fp16", action="store_true")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="Weight-only quantization of the baked constants "
+                        "(per-channel symmetric int8 + f32 scales; ~4x "
+                        "smaller file, decode shifts by the rounding error)")
     args = p.parse_args(argv)
 
     from . import load_model_with_fallback, resolve_device
@@ -52,13 +57,13 @@ def main(argv=None):
     )
     exported, meta = export_greedy_decode(
         model, opts, batch=args.batch, from_audio=not args.from_mel,
-        platforms=args.platforms,
+        platforms=args.platforms, quantize=args.quantize,
     )
     save_artifact(args.out, exported, meta)
     print(
         f"wrote {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB): "
         f"batch={args.batch} platforms={meta['platforms']} "
-        f"input={meta['input_shape']}"
+        f"input={meta['input_shape']} quantize={meta['quantize']}"
     )
 
 

@@ -41,6 +41,7 @@ def export_greedy_decode(
     batch: int = 8,
     from_audio: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    quantize: Optional[str] = None,
 ):
     """Lower the fused greedy decode to a ``jax.export.Exported`` + metadata.
 
@@ -49,6 +50,13 @@ def export_greedy_decode(
     takes a (batch, n_mels, 3000) mel.  Returns ``(exported, meta)`` where
     ``meta`` has everything the deployment side needs to slice tokens out
     of the returned buffer.
+
+    ``quantize="int8"`` bakes the large weight matrices as per-channel int8
+    constants with f32 scales (models/quantize.py) and dequantizes on device
+    per use — ~4x smaller artifact files; decode numerics shift by the
+    per-channel rounding error, so the result is NOT token-exact vs the f32
+    model (the fp artifact is; tests pin the quantized artifact token-exact
+    vs the *dequantized* params run in-process instead).
     """
     from .audio import N_SAMPLES, log_mel_spectrogram
     from .decode import DecodingOptions, DecodingTask
@@ -76,10 +84,23 @@ def export_greedy_decode(
     init = jnp.asarray(
         np.tile(np.asarray(task.initial_tokens, np.int32), (batch, 1))
     )
-    params = model_obj.params
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize mode {quantize!r}")
+    if quantize == "int8":
+        from .models.quantize import dequantize_params, quantize_params
+
+        qparams = quantize_params(model_obj.params)
+    else:
+        qparams = model_obj.params
     rng = jax.random.PRNGKey(0)  # unused at temperature 0
 
     def run(x):
+        # Under quantize, the closure captures int8 constants and the
+        # program dequantizes them on device (XLA fuses convert*scale into
+        # the consumers); without it this is a no-op passthrough.
+        params = (
+            dequantize_params(qparams) if quantize == "int8" else qparams
+        )
         mel = log_mel_spectrogram(x, dims.n_mels) if from_audio else x
         buf, cur_len, sum_lp, no_speech, _xa = _greedy_decode_jit(
             params, cfg, mel, init, rng, jnp.float32(0.0),
@@ -121,6 +142,7 @@ def export_greedy_decode(
         "language": options.language,
         "task": options.task,
         "platforms": list(exported.platforms),
+        "quantize": quantize,
         "outputs": ["buf", "cur_len", "sum_logprobs", "no_speech_probs"],
     }
     return exported, meta

@@ -136,3 +136,87 @@ def test_export_cross_platform_lowering(model, tmp_path):
     call, meta2 = load_artifact(path)
     buf, *_ = call(np.zeros((1, 80, 3000), np.float32))
     assert np.asarray(buf).shape[0] == 1
+
+
+def test_quantize_params_error_bounds(model):
+    """Per-channel int8 round-trip: every large leaf within the rounding
+    bound, every small leaf (biases, LN) untouched."""
+    from qasr_ijcnlp_tpu.models.quantize import (
+        dequantize_params, quantization_error, quantize_params,
+    )
+
+    qp = quantize_params(model.params)
+    max_abs, max_rel = quantization_error(model.params, qp)
+    # symmetric rounding error <= (channel absmax/127)/2 -> rel <= 1/254
+    assert max_rel <= 1.0 / 200.0, (max_abs, max_rel)
+
+    # small leaves pass through bit-identical
+    ln = model.params["encoder"]["ln_post"]["g"]
+    deq = dequantize_params(qp)
+    np.testing.assert_array_equal(
+        np.asarray(ln), np.asarray(deq["encoder"]["ln_post"]["g"])
+    )
+    # large leaves are genuinely int8 in the quantized tree
+    q_emb = qp["decoder"]["tok_emb"]
+    assert q_emb["q"].dtype == np.int8 and q_emb["s"].dtype == np.float32
+
+
+def test_export_quantized_artifact(model, tmp_path):
+    """int8 artifact: ~4x smaller file, token-exact vs the in-process decode
+    of the DEQUANTIZED params (separates export correctness from the
+    quantization error, which random weights amplify)."""
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.export import (
+        decode_artifact_tokens, export_greedy_decode, load_artifact,
+        save_artifact,
+    )
+    from qasr_ijcnlp_tpu.models.quantize import (
+        dequantize_params, quantize_params,
+    )
+
+    opts = DecodingOptions(
+        fp16=False, language="en", without_timestamps=True, sample_len=6
+    )
+    fp, fp_meta = export_greedy_decode(
+        model, opts, batch=1, from_audio=False
+    )
+    q, q_meta = export_greedy_decode(
+        model, opts, batch=1, from_audio=False, quantize="int8"
+    )
+    fp_path = str(tmp_path / "fp.qasrx")
+    q_path = str(tmp_path / "q.qasrx")
+    save_artifact(fp_path, fp, fp_meta)
+    save_artifact(q_path, q, q_meta)
+    import os
+
+    assert os.path.getsize(q_path) < 0.5 * os.path.getsize(fp_path), (
+        os.path.getsize(q_path), os.path.getsize(fp_path),
+    )
+    assert q_meta["quantize"] == "int8"
+
+    call, meta2 = load_artifact(q_path)
+    from qasr_ijcnlp_tpu.audio import log_mel_spectrogram
+
+    mel = np.asarray(log_mel_spectrogram(_audio(13, 1), DIMS.n_mels))
+    buf, cur_len, *_ = call(mel)
+    got = decode_artifact_tokens(buf, cur_len, meta2)
+
+    deq_model = WhisperModel(
+        dequantize_params(quantize_params(model.params)), DIMS,
+        name="export-test-deq",
+    )
+    (expected,) = decode(deq_model, mel, opts)
+    assert got[0] == list(expected.tokens)
+
+
+def test_export_rejects_unknown_quantize(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.export import export_greedy_decode
+
+    with pytest.raises(ValueError, match="quantize"):
+        export_greedy_decode(
+            model,
+            DecodingOptions(fp16=False, language="en",
+                            without_timestamps=True),
+            batch=1, quantize="int4",
+        )
