@@ -41,8 +41,16 @@ def _bound_xla_cpu_state():
     ASan-clean, pointing at accumulated backend JIT state).  Clearing
     per-module trades some recompilation for a bounded executable
     population.
+
+    Under the process-isolated runner (scripts/run_suite.sh, which sets
+    QASR_SUITE_ISOLATED=1) each test file already gets a fresh interpreter,
+    so the mitigation is skipped — the isolated suite passes WITHOUT it,
+    bounding the unfixed upstream crash structurally rather than
+    behaviorally.
     """
     yield
+    if os.environ.get("QASR_SUITE_ISOLATED"):
+        return
     import gc
 
     jax.clear_caches()
