@@ -202,6 +202,25 @@ def _greedy_decode_jit(
         params, cfg, audio_features, initial_tokens
     )
 
+    # Fused per-layer decoder-step kernel (ops/decoder_step.py): collapses
+    # the ~50 XLA fusion boundaries of the unfused single-token step into
+    # one pallas_call per layer.  Applicability is static (geometry +
+    # backend); the cache is converted to the kernel's T-on-lanes layout
+    # once, before the loop.
+    from ..ops.decoder_step import (
+        fused_cache_applicable, fused_decoder_step, fused_step_enabled,
+        to_fused_cache,
+    )
+
+    use_fused = (
+        fused_step_enabled()
+        and cfg.mesh is None
+        and fused_cache_applicable(cache, cfg.dims, B)
+    )
+    if use_fused:
+        cache = to_fused_cache(cache, cfg.dims)
+    step_fn = fused_decoder_step if use_fused else model.decoder_step
+
     buf = jnp.full((B, n_ctx + 1), eot, jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, initial_tokens.astype(jnp.int32), (0, 0))
     cur_len = jnp.asarray(cfg.sample_begin, jnp.int32)
@@ -261,7 +280,7 @@ def _greedy_decode_jit(
             last, prev, max_ts = _update_ts_state(
                 last, prev, max_ts, next_tok, cfg.timestamp_begin
             )
-            step_logits, cache = model.decoder_step(
+            step_logits, cache = step_fn(
                 params["decoder"], next_tok[:, None], cache, cfg.dims,
                 jnp.dtype(cfg.compute_dtype),
                 logits_dtype=_logits_dtype(cfg),

@@ -166,12 +166,14 @@ def _kernel(
     hsel = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // DH
             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
 
+    mm_dt = x_ref.dtype  # matmul I/O dtype follows the activations
+
     def attend_chunk(i, k_chunk, v_chunk, qrow, lane_mask):
         """One row's chunk update.  k/v_chunk (D, CH) f32; qrow (D,) f32;
         lane_mask (CH,) True where the key position is visible."""
-        qexp = jnp.where(qsel, qrow[None, :], 0.0).astype(jnp.bfloat16)
+        qexp = jnp.where(qsel, qrow[None, :], 0.0).astype(mm_dt)
         lg = jax.lax.dot_general(
-            qexp, k_chunk.astype(jnp.bfloat16),
+            qexp, k_chunk.astype(mm_dt),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                     # (H, CH)
@@ -185,7 +187,7 @@ def _kernel(
         s_s[i] = s_s[i] * corr + jnp.sum(p, axis=-1)
         m_s[i] = m_new
         pv = jax.lax.dot_general(
-            v_chunk.astype(jnp.bfloat16), p.astype(jnp.bfloat16),
+            v_chunk.astype(mm_dt), p.astype(mm_dt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                     # (D, H)
@@ -274,21 +276,21 @@ def _layer_step_impl(
     H = n_head
 
     const = lambda shape: pl.BlockSpec(
-        shape, lambda b, c: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda b, c, *_: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    row = lambda: pl.BlockSpec((BT, D), lambda b, c: (b, 0),
+    row = lambda: pl.BlockSpec((BT, D), lambda b, c, *_: (b, 0),
                                memory_space=pltpu.VMEM)
     selfspec = lambda: pl.BlockSpec(
         (BT, D, SELF_CHUNK),
-        lambda b, c: (b, 0, jnp.minimum(c, cs - 1)),
+        lambda b, c, *_: (b, 0, jnp.minimum(c, cs - 1)),
         memory_space=pltpu.VMEM,
     )
     crossspec = lambda: pl.BlockSpec(
         (BT, D, CC),
-        lambda b, c: (b, 0, jnp.clip(c - cs, 0, cc - 1)),
+        lambda b, c, *_: (b, 0, jnp.clip(c - cs, 0, cc - 1)),
         memory_space=pltpu.VMEM,
     )
-    F = weights[12].shape[1]  # wf: (D, F)
+    F = weights[17].shape[1]  # wf: (D, F)
     wspecs = [
         const((1, D)), const((1, D)),      # ln1 g, b (f32)
         const((D, D)), const((1, D)),      # wq, bq
@@ -403,3 +405,94 @@ def fused_decoder_layer_step(
     out = op(x, kself, vself, kcross, vcross,
              jnp.asarray(idx, jnp.int32).reshape(1), *weights)
     return out[:, 0, :], out[:, 1, :], out[:, 2, :]
+
+
+# ---------------------------------------------------------------------------
+# Full-step wrapper: drop-in for models.whisper.decoder_step on the greedy
+# single-token path (decode/loop.py picks it when applicable).
+# ---------------------------------------------------------------------------
+
+
+def fused_cache_applicable(cache, dims, batch: int) -> bool:
+    """True when the unfused cache produced by ``_prompt_pass`` can be
+    converted to the fused T-on-lanes layout: fp cross K/V (not int8),
+    ungrouped (cross batch == batch), and a kernel-supported geometry."""
+    return (
+        "cross_k" in cache
+        and cache["cross_k"][0].shape[0] == batch
+        and fused_step_applicable(
+            dims.n_text_head, dims.n_text_state, batch
+        )
+    )
+
+
+def to_fused_cache(cache, dims):
+    """Convert an unfused kv-cache (models.whisper.init_kv_cache layout,
+    lists of (B, T, D)) to the kernel's T-on-lanes layout (lists of
+    (B, D, Tpad)), padding T to the kernel's chunk multiples.  Padded lanes
+    are invisible: self keys past ``idx`` are masked by position, cross keys
+    past ``t_real_cross = dims.n_audio_ctx`` by the visibility mask.
+    """
+    D = dims.n_text_state
+    CC = _cross_chunk(D)
+
+    def tol(buf, mult):  # (B, T, D) -> (B, D, Tpad)
+        t = buf.shape[1]
+        out = jnp.swapaxes(buf, 1, 2)
+        pad = _round_up(t, mult) - t
+        if pad:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, pad)))
+        return out
+
+    return {
+        "fself_k": [tol(k, SELF_CHUNK) for k in cache["self_k"]],
+        "fself_v": [tol(v, SELF_CHUNK) for v in cache["self_v"]],
+        "fcross_k": [tol(k, CC) for k in cache["cross_k"]],
+        "fcross_v": [tol(v, CC) for v in cache["cross_v"]],
+        "idx": cache["idx"],
+    }
+
+
+def fused_decoder_step(
+    params,
+    tokens: jnp.ndarray,     # (B, 1) — single-token steps only
+    cache,                   # fused-layout cache from to_fused_cache
+    dims,
+    compute_dtype=jnp.float32,
+    logits_dtype=jnp.float32,
+):
+    """Single-token incremental decoder step over the fused per-layer
+    kernel; same signature/result contract as models.whisper.decoder_step
+    restricted to T_new == 1 and scalar ``idx`` (no per-row offsets).
+    """
+    B, t_new = tokens.shape
+    assert t_new == 1, "fused path is single-token only"
+    idx = cache["idx"]
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], idx, 1, axis=0)
+    x = (params["tok_emb"][tokens[:, 0]] + pos[0]).astype(compute_dtype)
+    fk = list(cache["fself_k"])
+    fv = list(cache["fself_v"])
+    zero = jnp.zeros((), jnp.int32)
+    for l in range(dims.n_text_layer):
+        bp = jax.tree.map(lambda p, _l=l: p[_l], params["blocks"])
+        x, kn, vn = fused_decoder_layer_step(
+            x, bp, fk[l], fv[l],
+            cache["fcross_k"][l], cache["fcross_v"][l],
+            idx, dims.n_text_head, t_real_cross=dims.n_audio_ctx,
+        )
+        # Commit the fresh k/v to lane ``idx``; the kernel already attended
+        # to them in-register this step.
+        fk[l] = jax.lax.dynamic_update_slice(
+            fk[l], kn[:, :, None].astype(fk[l].dtype), (zero, zero, idx)
+        )
+        fv[l] = jax.lax.dynamic_update_slice(
+            fv[l], vn[:, :, None].astype(fv[l].dtype), (zero, zero, idx)
+        )
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    xn = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5) * params["ln"]["g"]
+          + params["ln"]["b"]).astype(x.dtype)
+    logits = (xn @ params["tok_emb"].astype(x.dtype).T).astype(logits_dtype)
+    new_cache = {**cache, "fself_k": fk, "fself_v": fv, "idx": idx + 1}
+    return logits[:, None, :], new_cache
