@@ -160,9 +160,16 @@ def greedy_decode(
     caller can never silently pair a nonzero temperature with the argmax
     program."""
     t = float(temperature)
+    from ..ops.decoder_step import fused_step_enabled
+
     return _greedy_decode_jit(
         params, cfg, audio_input, initial_tokens, rng, jnp.float32(t),
         sample=(t != 0.0), encode=encode,
+        # Static jit-key member: the opt-in fused-step flag must retrace —
+        # it is read at trace time, so leaving it out of the key would let a
+        # post-compile set_fused_decoder_step() silently reuse the other
+        # path's executable.
+        fused=fused_step_enabled(),
     )
 
 
@@ -176,7 +183,7 @@ def greedy_cache_size() -> int:
         return -1
 
 
-@partial(jax.jit, static_argnames=("cfg", "sample", "encode"))
+@partial(jax.jit, static_argnames=("cfg", "sample", "encode", "fused"))
 def _greedy_decode_jit(
     params,
     cfg: LoopConfig,
@@ -186,6 +193,7 @@ def _greedy_decode_jit(
     temperature: jnp.ndarray = 0.0,  # traced: one compile serves the ladder
     sample: bool = False,  # static: argmax (False) vs categorical program
     encode: bool = False,
+    fused: bool = False,  # static: opt-in fused decoder-step kernel
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens_buf (B, n_ctx+1), final_len, sum_logprobs, no_speech,
     audio_features).  With ``encode=True``, ``audio_input`` is the (B, n_mels,
@@ -204,16 +212,18 @@ def _greedy_decode_jit(
 
     # Fused per-layer decoder-step kernel (ops/decoder_step.py): collapses
     # the ~50 XLA fusion boundaries of the unfused single-token step into
-    # one pallas_call per layer.  Applicability is static (geometry +
-    # backend); the cache is converted to the kernel's T-on-lanes layout
-    # once, before the loop.
+    # one pallas_call per layer.  OPT-IN (``fused`` static arg, derived from
+    # set_fused_decoder_step by the unjitted entry): the on-chip A/B
+    # (scripts/bench_fused_step.py) measures it slower than the unfused XLA
+    # step, so it never enables itself.  Applicability is static (geometry);
+    # the cache is converted to the kernel's T-on-lanes layout once, before
+    # the loop.
     from ..ops.decoder_step import (
-        fused_cache_applicable, fused_decoder_step, fused_step_enabled,
-        to_fused_cache,
+        fused_cache_applicable, fused_decoder_step, to_fused_cache,
     )
 
     use_fused = (
-        fused_step_enabled()
+        fused
         and cfg.mesh is None
         and fused_cache_applicable(cache, cfg.dims, B)
     )

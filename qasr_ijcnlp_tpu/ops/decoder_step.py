@@ -29,12 +29,17 @@ the in-register k_new/v_new by lane mask, and the caller commits the same
 k_new/v_new to the HBM cache with a lane-column dynamic_update_slice after
 the call (models/whisper.py decoder_step).
 
-Replaces: the serial per-token decode of the reference
-(/root/reference/whisper/whisper/decoding.py:680-710 via model.py:111-146)
-on the TPU greedy/long-form path.  Numerics follow the XLA path's policy
-(fp32 LN/softmax, bf16 matmul I/O, f32 MXU accumulation); parity is pinned
-token-exact against the unfused step in tests/test_decoder_step_kernel.py
-and on-chip by scripts/bench_fused_step.py.
+Replaces (opt-in only): the serial per-token decode of the reference
+(/root/reference/whisper/whisper/decoding.py:680-710 via model.py:111-146).
+Numerics follow the XLA path's policy (fp32 LN/softmax, bf16 matmul I/O,
+f32 MXU accumulation) but are NOT bit-identical to the unfused step: the
+online-softmax chunking reorders the fp reductions, so logits drift at
+bf16 scale (measured max |delta| ~1.6e-2 at B=512 random-init).  Parity is
+pinned in tests/test_decoder_step_kernel.py (interpret mode on CPU: logits
+within tolerance + argmax stability on separated logits); the on-chip A/B
+lives in scripts/bench_fused_step.py.  Because the round-4 A/B measured
+this formulation ~2x SLOWER than the unfused XLA step at the headline
+protocol, it ships default-OFF (see _ENABLED below).
 """
 
 from __future__ import annotations
@@ -52,7 +57,13 @@ from . import round_up as _round_up
 BT = 8           # batch rows per grid cell
 SELF_CHUNK = 128  # lanes per self-cache chunk
 
-# None = auto (ON for TPU backend); set False to force the unfused path.
+# Default OFF: the round-4 on-chip A/B (scripts/bench_fused_step.py) measured
+# the fused formulation at ~9.6k RTF vs ~19.2k for the unfused XLA step at
+# the bench protocol (B=512, 64 steps) — the per-row H-row matmuls waste
+# ~90% of MXU rows, and restreaming the full cross cache per token loses to
+# XLA's batched step.  It remains available as an opt-in research path
+# (set_fused_decoder_step(True)); re-enable by default only behind a measured
+# win at the bench.py protocol.  None = OFF.
 _ENABLED: Optional[bool] = None
 
 
@@ -63,7 +74,7 @@ def set_fused_decoder_step(enabled: Optional[bool]) -> None:
 
 def fused_step_enabled() -> bool:
     if _ENABLED is None:
-        return jax.default_backend() == "tpu"
+        return False
     return bool(_ENABLED)
 
 

@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 D, H, DH = 384, 6, 64
 BT = int(__import__('os').environ.get('BT', 8))
 
+# v5e HBM bandwidth ceiling: any "effective GB/s" above this is a
+# measurement artifact, not a kernel result.
+HBM_GBPS = 819.0
+
 
 def _dma_kernel(k_ref, v_ref, o_ref):
     c = pl.program_id(1)
@@ -264,18 +268,35 @@ def run(name, B, CHUNK, Ta=1536, reps=20):
         args2 = args
     # r is TRACED (<- one compile, real loop): a static trip count would be
     # unrolled into separate custom calls and measure dispatch, not the
-    # kernel (see NOTES_ROUND4).
-    np.asarray(jf(*args2, 2))
-    t0 = time.perf_counter()
-    np.asarray(jf(*args2, 2 + reps))
-    el1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(jf(*args2, 2))
-    el0 = time.perf_counter() - t0
-    el = (el1 - el0) / reps
+    # kernel (see NOTES_ROUND4).  Timing discipline (round-5 fix — the r4
+    # single-shot subtraction printed negative times and >HBM "effective"
+    # bandwidths): per trip count, warm up then take the MIN of n timed
+    # block_until_ready runs; the per-iteration cost is the two-point slope,
+    # guarded against noise inversion.
+    r_lo, r_hi = 2, 2 + reps
+
+    def _min_time(r, n=5):
+        jax.block_until_ready(jf(*args2, r))  # warmup this trip count
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jf(*args2, r))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo = _min_time(r_lo)
+    t_hi = _min_time(r_hi)
+    el = (t_hi - t_lo) / (r_hi - r_lo)
     gb = 2 * B * Ta * D * 2 / 1e9
+    if el <= 0:
+        print(f"{name:6s} B={B} CHUNK={CHUNK}: UNRELIABLE "
+              f"(t_hi {t_hi * 1e6:.0f} us <= t_lo {t_lo * 1e6:.0f} us; "
+              f"dispatch noise exceeded kernel time — raise reps)")
+        return None
+    eff = gb / el
+    flag = "  [> HBM ceiling: measurement invalid]" if eff > HBM_GBPS else ""
     print(f"{name:6s} B={B} CHUNK={CHUNK}: {el * 1e6:9.1f} us  "
-          f"({gb / el:6.1f} GB/s effective)")
+          f"({eff:6.1f} GB/s effective){flag}")
     return el
 
 
@@ -284,9 +305,15 @@ def main():
     CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     for name in ("dma", "vpu", "mxu_t", "mxu_r"):
         try:
-            run(name, B, CHUNK)
+            els = [run(name, B, CHUNK) for _ in range(3)]
         except Exception as e:
             print(f"{name}: FAILED {str(e)[:200]}")
+            continue
+        els = [e for e in els if e is not None]
+        if len(els) == 3:
+            spread = (max(els) - min(els)) / min(els)
+            ok = "ok" if spread <= 0.10 else "NOISY (>10%)"
+            print(f"{name:6s} 3-run spread: {spread * 100:5.1f}%  [{ok}]")
 
 
 if __name__ == "__main__":

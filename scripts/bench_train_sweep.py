@@ -130,7 +130,7 @@ def bench_quantum_step(B, peak_tflops):
         init_state, make_optimizer, make_train_step,
     )
 
-    qmodel = create_quantum_whisper_tiny(jax.random.PRNGKey(0), n_qubits=8)
+    qmodel = create_quantum_whisper_tiny(n_qubits=8)
     vocab = CharVocabulary()
     dims = qmodel.dims
     head = {
@@ -180,19 +180,21 @@ def main():
     from qasr_ijcnlp_tpu.cli import enable_compilation_cache
 
     enable_compilation_cache()
-    from qasr_ijcnlp_tpu.models.dims import base_dims, tiny_dims
+    from qasr_ijcnlp_tpu.models.dims import dims_for
 
-    dims = tiny_dims() if args.model == "tiny" else base_dims()
+    dims = dims_for(args.model)
     batches = [int(b) for b in args.batches.split(",")]
     print(f"backend: {jax.default_backend()}  model: {args.model}  "
           f"tokens/utt: {args.tokens}  peak: {args.peak_tflops} TFLOP/s")
 
     print("batch sweep (remat off, no accumulation):")
     results = []
+    failed_B = None
     for B in batches:
         r = bench_token_step(dims, B, args.tokens, args.peak_tflops,
                              label=args.model)
         if r is None:
+            failed_B = B
             break
         results.append(r)
 
@@ -201,6 +203,12 @@ def main():
         print(f"remat A/B at B={rb}:")
         bench_token_step(dims, rb, args.tokens, args.peak_tflops,
                          remat=True, label=f"{args.model}+remat")
+        if failed_B is not None:
+            # remat's real payoff is extending the batch envelope: retry the
+            # batch that failed without it
+            print(f"remat at failed batch B={failed_B}:")
+            bench_token_step(dims, failed_B, args.tokens, args.peak_tflops,
+                             remat=True, label=f"{args.model}+remat")
         print(f"grad-accum A/B at global B={rb} ({args.accum} microbatches):")
         bench_token_step(dims, rb, args.tokens, args.peak_tflops,
                          accum=args.accum, label=f"{args.model}+accum")
