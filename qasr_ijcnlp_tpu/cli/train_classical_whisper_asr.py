@@ -39,7 +39,10 @@ def build_parser():
     p.add_argument("--grad_accum", type=int, default=1,
                    help="Accumulate gradients over N microbatches per "
                         "optimizer step (batch_size must divide by N); "
-                        "exact full-batch equivalence")
+                        "exact full-batch equivalence. Throughput optimum "
+                        "on one v5e chip: --batch_size 128 --grad_accum 4 "
+                        "(7,053 audio-s/s vs 6,647 at the default; "
+                        "docs/BENCHMARKS.md 'Training')")
     p.add_argument("--warmup_epochs", type=int, default=3)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--max_tokens", type=int, default=448)

@@ -35,12 +35,14 @@ BT = int(__import__('os').environ.get('BT', 8))
 HBM_GBPS = 819.0
 
 
-def _dma_kernel(k_ref, v_ref, o_ref):
+def _dma_kernel(q_ref, k_ref, v_ref, o_ref):
+    # q is a loop-carried operand solely so the timing loop cannot hoist
+    # the call (see `many` below); it costs one (BT, D) VMEM read.
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        o_ref[...] = q_ref[...][:, None, :].astype(jnp.float32) * 1e-30
 
     o_ref[...] += (k_ref[...].astype(jnp.float32).sum(axis=1, keepdims=True)
                    + v_ref[...].astype(jnp.float32).sum(axis=1, keepdims=True))
@@ -184,7 +186,7 @@ def _mxu_r_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_s, s_s):
         o_ref[...] = acc[:BT, :].astype(o_ref.dtype)
 
 
-def run(name, B, CHUNK, Ta=1536, reps=20):
+def run(name, B, CHUNK, Ta=1536, reps=100):
     C = Ta // CHUNK
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((B, D)) * 0.1, jnp.bfloat16)
@@ -241,27 +243,37 @@ def run(name, B, CHUNK, Ta=1536, reps=20):
             _dma_kernel,
             out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
             grid=(B // BT, Ta // CHUNK),
-            in_specs=[kv_spec, kv_spec],
+            in_specs=[
+                pl.BlockSpec((BT, D), lambda b, c: (b, 0),
+                             memory_space=pltpu.VMEM),
+                kv_spec, kv_spec,
+            ],
             out_specs=pl.BlockSpec((BT, 1, D), lambda b, c: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
-        args = (k, v)
+        args = (q, k, v)
 
+    # The loop body feeds each call's OUTPUT back into the next call's q at
+    # 1e-30 scale: a real data dependence, so XLA can neither hoist the
+    # (loop-invariant-looking) kernel call out of the fori_loop nor overlap
+    # iterations.  The r4 version multiplied the feedback by 0, which
+    # constant-folded away — the kernel ran ONCE regardless of trip count
+    # and the "per-iteration" times were pure noise.
     if name == "dma":
-        def many(k, v, q, r):
+        def many(q, k, v, r):
             def body(i, acc):
-                out = f(k, v)
-                return acc + out * (1e-9 + q[0, 0].astype(jnp.float32) * 0)
-            return jax.lax.fori_loop(0, r, body,
-                                     jnp.zeros(f_out_shape, jnp.float32))
-        f_out_shape = (B, 1, D)
+                out = f(q + acc[:, 0, :].astype(q.dtype) * 1e-30, k, v)
+                return out
+            return jax.lax.fori_loop(
+                0, r, body, jnp.zeros((B, 1, D), jnp.float32)
+            )
         jf = jax.jit(many)
-        args2 = (args[0], args[1], jnp.ones((1, 1), jnp.bfloat16))
+        args2 = args
     else:
         def many(q, k, v, r):
             def body(i, acc):
-                out = f(q + acc[0, 0].astype(q.dtype) * 0, k, v)
-                return acc + out.astype(jnp.float32) * 1e-9
+                out = f(q + acc.astype(q.dtype) * 1e-30, k, v)
+                return out.astype(jnp.float32)
             return jax.lax.fori_loop(0, r, body,
                                      jnp.zeros((B, D), jnp.float32))
         jf = jax.jit(many)
@@ -276,11 +288,15 @@ def run(name, B, CHUNK, Ta=1536, reps=20):
     r_lo, r_hi = 2, 2 + reps
 
     def _min_time(r, n=5):
-        jax.block_until_ready(jf(*args2, r))  # warmup this trip count
+        # host-materialize to sync: through the tunneled device link,
+        # block_until_ready returns before execution finishes (measured:
+        # flat ~30-70 us walls for multi-ms programs), the same trap the
+        # rest of the repo's benches avoid by fetching results
+        np.asarray(jf(*args2, r))  # warmup this trip count
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            jax.block_until_ready(jf(*args2, r))
+            np.asarray(jf(*args2, r))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

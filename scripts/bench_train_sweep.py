@@ -122,8 +122,7 @@ def bench_token_step(dims, B, n_tok, peak_tflops, remat=False, accum=1,
 def bench_quantum_step(B, peak_tflops):
     """Quantum-stem (8-qubit QuantumConv1d) char-ASR train step on-chip."""
     from qasr_ijcnlp_tpu.data import CharVocabulary
-    from qasr_ijcnlp_tpu.models import whisper as model
-    from qasr_ijcnlp_tpu.models.dims import tiny_dims
+    from qasr_ijcnlp_tpu.models.asr import init_mlp_head
     from qasr_ijcnlp_tpu.models.quantum import create_quantum_whisper_tiny
     from qasr_ijcnlp_tpu.train.loops import char_asr_loss_fn, encoder_fn_for
     from qasr_ijcnlp_tpu.train.step import (
@@ -131,14 +130,10 @@ def bench_quantum_step(B, peak_tflops):
     )
 
     qmodel = create_quantum_whisper_tiny(n_qubits=8)
-    vocab = CharVocabulary()
+    vocab = CharVocabulary.build(["the quick brown fox jumps over a lazy dog"])
     dims = qmodel.dims
-    head = {
-        "w1": jnp.zeros((dims.n_audio_state, 256), jnp.float32),
-        "b1": jnp.zeros((256,), jnp.float32),
-        "w2": jnp.zeros((256, len(vocab)), jnp.float32),
-        "b2": jnp.zeros((len(vocab),), jnp.float32),
-    }
+    head = init_mlp_head(jax.random.PRNGKey(1), dims.n_audio_state,
+                         vocab.num_chars)
     params = {"encoder": qmodel.params["encoder"], "head": head}
     loss_fn = char_asr_loss_fn(encoder_fn_for(qmodel), "mlp")
     tx = make_optimizer(lambda _: 1e-4)
@@ -148,9 +143,13 @@ def bench_quantum_step(B, peak_tflops):
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((B, dims.n_mels, 3000)),
                       jnp.float32)
-    chars = jnp.asarray(rng.integers(1, len(vocab), (B, 64)), jnp.int32)
-    state, loss = step(state, mel, chars)
-    sync(loss)
+    chars = jnp.asarray(rng.integers(1, vocab.num_chars, (B, 64)), jnp.int32)
+    try:
+        state, loss = step(state, mel, chars)
+        sync(loss)
+    except Exception as e:
+        print(f"  quantum-stem (8q) B={B}: OOM/fail ({str(e)[:80]})")
+        return None
     reps, inner = 3, 3
     ts = []
     for _ in range(reps):
