@@ -12,10 +12,14 @@ boundaries of a layer (LN, q/k/v, cache update, self-attention, cross LN/q,
 cross-attention, out-proj, MLP) into a single pallas_call.  Per step that
 leaves ~4 kernel calls + embed + logits instead of ~50 fusions.
 
-Layout: the K/V caches live T-ON-LANES — (B, D, T) instead of (B, T, D) —
-the layout probed fastest for decode's batched-GEMV attention
-(scripts/bench_step_formulations.py: per-row MXU matmuls on (D, CHUNK)
-blocks stream at 627 GB/s vs 374 GB/s for the VPU formulation).  Each
+Layout: the K/V caches live T-ON-LANES — (B, D, T) instead of (B, T, D).
+NOTE (round 5): this layout choice was based on a broken measurement
+harness; the repaired scripts/bench_step_formulations.py ranks the
+row-major block-diagonal batched formulation (mxu_r, 632 GB/s) ABOVE this
+kernel's per-row T-on-lanes one (mxu_t, 500 GB/s) — and shows even the
+pure-DMA Pallas floor (~710-760 GB/s) cannot beat the XLA step's achieved
+≥84%-of-floor end-to-end rate, which is why the kernel is retired to
+opt-in rather than rewritten (docs/BENCHMARKS.md round-5 section).  Each
 (batch-tile, chunk) grid cell runs, per row, one (H, D) x (D, CHUNK) MXU
 matmul for logits and one (D, CHUNK) x (CHUNK->H) for PV, with online
 softmax across chunks; the fourth-root attention scale is folded into q

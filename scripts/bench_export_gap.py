@@ -96,12 +96,21 @@ def main():
     jax.clear_caches()
     try:
         results["live_nokernel"] = _time_reps(live, args.batch, args.repeats)
+    except Exception as e:
+        # the XLA-native encoder materializes (B, H, 1500, 1500) attention
+        # logits — 13.2 GB at B=512 — so this leg (and the artifact, which
+        # runs the same formulation) has a batch ceiling the kernel path
+        # does not
+        results["live_nokernel"] = None
+        print(json.dumps({"path": "live-nokernel", "rtf": None,
+                          "fail": str(e)[:120]}))
     finally:
         model.set_flash_attention(prev_flash)
         audio_mod.set_fused_mel(prev_mel)
         jax.clear_caches()
-    print(json.dumps({"path": "live-nokernel",
-                      "rtf": round(results["live_nokernel"], 1)}))
+    if results["live_nokernel"] is not None:
+        print(json.dumps({"path": "live-nokernel",
+                          "rtf": round(results["live_nokernel"], 1)}))
 
     exported, meta = export_greedy_decode(
         m, opts, batch=args.batch, from_audio=False
@@ -114,25 +123,40 @@ def main():
 
     def artifact():
         out = call(mel)
-        jax.block_until_ready(out)
+        # host-materialize to sync (block_until_ready returns early
+        # through the tunneled device link)
+        np.asarray(out[1])
 
-    results["artifact"] = _time_reps(artifact, args.batch, args.repeats)
-    print(json.dumps({"path": "artifact",
-                      "rtf": round(results["artifact"], 1),
-                      "artifact_mb": round(size_mb, 1)}))
+    try:
+        results["artifact"] = _time_reps(artifact, args.batch, args.repeats)
+        print(json.dumps({"path": "artifact",
+                          "rtf": round(results["artifact"], 1),
+                          "artifact_mb": round(size_mb, 1)}))
+    except Exception as e:
+        results["artifact"] = None
+        print(json.dumps({"path": "artifact", "rtf": None,
+                          "artifact_mb": round(size_mb, 1),
+                          "fail": str(e)[:120]}))
 
-    gap = 1.0 - results["artifact"] / results["live"]
-    print(json.dumps({
+    summary = {
         "summary": "export_gap",
+        "batch": args.batch,
         "live_rtf": round(results["live"], 1),
-        "live_nokernel_rtf": round(results["live_nokernel"], 1),
-        "artifact_rtf": round(results["artifact"], 1),
-        "gap_vs_live_pct": round(gap * 100, 1),
-        "gap_attributed_to_kernels_pct": round(
-            (1.0 - results["live_nokernel"] / results["live"]) * 100, 1),
+        "live_nokernel_rtf": (
+            round(results["live_nokernel"], 1)
+            if results["live_nokernel"] else None),
+        "artifact_rtf": (
+            round(results["artifact"], 1) if results["artifact"] else None),
         "note": "artifact excludes Pallas kernels by design (export.py); "
                 ">10% gap would motivate custom-call export",
-    }))
+    }
+    if results["artifact"]:
+        summary["gap_vs_live_pct"] = round(
+            (1.0 - results["artifact"] / results["live"]) * 100, 1)
+    if results["live_nokernel"]:
+        summary["gap_attributed_to_kernels_pct"] = round(
+            (1.0 - results["live_nokernel"] / results["live"]) * 100, 1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
