@@ -42,6 +42,7 @@ def export_greedy_decode(
     from_audio: bool = True,
     platforms: Optional[Sequence[str]] = None,
     quantize: Optional[str] = None,
+    with_kernels: bool = False,
 ):
     """Lower the fused greedy decode to a ``jax.export.Exported`` + metadata.
 
@@ -57,6 +58,17 @@ def export_greedy_decode(
     per-channel rounding error, so the result is NOT token-exact vs the f32
     model (the fp artifact is; tests pin the quantized artifact token-exact
     vs the *dequantized* params run in-process instead).
+
+    ``with_kernels=True`` keeps the Pallas kernels in the artifact
+    (``jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")``).
+    Trade-off, measured on-chip (scripts/bench_export_gap.py, B=128): the
+    portable kernel-free artifact decodes 12% slower than the live path and
+    cannot run batches ≥256 at all (the XLA-native encoder materializes
+    (B, H, 1500, 1500) attention logits — 13.2 GB at B=512), while a
+    kernels-included artifact matches live performance but is only valid on
+    the same TPU generation + compiler version it was lowered with (Mosaic
+    custom calls carry no cross-version stability guarantee — the metadata
+    records the jax/jaxlib versions for a load-time check).
     """
     from .audio import N_SAMPLES, log_mel_spectrogram
     from .decode import DecodingOptions, DecodingTask
@@ -116,21 +128,33 @@ def export_greedy_decode(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    # Pallas kernels lower to tpu_custom_call, which jax.export rejects (no
-    # stability guarantee across compiler versions); trace the XLA-native
-    # formulation — same semantics — and restore the ambient policy after.
-    from . import audio as _audio_mod
-    from .models import whisper as _whisper_mod
-
-    prev_flash = _whisper_mod._USE_FLASH
-    prev_mel = _audio_mod._USE_FUSED_MEL
-    _whisper_mod.set_flash_attention(False)
-    _audio_mod.set_fused_mel(False)
-    try:
+    if with_kernels:
+        if platforms is not None and tuple(platforms) != ("tpu",):
+            raise ValueError(
+                "with_kernels=True artifacts are TPU-only (Mosaic custom "
+                "calls); drop platforms= or pass ('tpu',)"
+            )
+        kwargs["disabled_checks"] = [
+            jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")
+        ]
         exported = jax.export.export(jax.jit(run), **kwargs)(spec)
-    finally:
-        _whisper_mod.set_flash_attention(prev_flash)
-        _audio_mod.set_fused_mel(prev_mel)
+    else:
+        # Pallas kernels lower to tpu_custom_call, which jax.export rejects
+        # by default (no stability guarantee across compiler versions);
+        # trace the XLA-native formulation — same semantics — and restore
+        # the ambient policy after.
+        from . import audio as _audio_mod
+        from .models import whisper as _whisper_mod
+
+        prev_flash = _whisper_mod._USE_FLASH
+        prev_mel = _audio_mod._USE_FUSED_MEL
+        _whisper_mod.set_flash_attention(False)
+        _audio_mod.set_fused_mel(False)
+        try:
+            exported = jax.export.export(jax.jit(run), **kwargs)(spec)
+        finally:
+            _whisper_mod.set_flash_attention(prev_flash)
+            _audio_mod.set_fused_mel(prev_mel)
 
     meta = {
         "model": getattr(model_obj, "name", "?"),
@@ -144,7 +168,15 @@ def export_greedy_decode(
         "platforms": list(exported.platforms),
         "quantize": quantize,
         "outputs": ["buf", "cur_len", "sum_logprobs", "no_speech_probs"],
+        "with_kernels": with_kernels,
     }
+    if with_kernels:
+        # Mosaic custom calls are only valid on the compiler version that
+        # lowered them; load_artifact warns on mismatch.
+        meta["jax_version"] = jax.__version__
+        meta["jaxlib_version"] = getattr(
+            __import__("jaxlib"), "__version__", "?"
+        )
     return exported, meta
 
 
@@ -163,6 +195,8 @@ def save_artifact(path: str, exported, meta: dict) -> None:
 def load_artifact(path: str):
     """Returns ``(call, meta)``; ``call`` runs on any platform the artifact
     was lowered for."""
+    import warnings
+
     # Stream the sections (the payload embeds all model weights and can be
     # GBs; slicing a whole-file read would hold several transient copies).
     with open(path, "rb") as f:
@@ -171,6 +205,15 @@ def load_artifact(path: str):
         n = int(np.frombuffer(f.read(4), np.uint32)[0])
         meta = json.loads(f.read(n).decode())
         exported = jax.export.deserialize(bytearray(f.read()))
+    if meta.get("with_kernels") and meta.get("jax_version") != jax.__version__:
+        warnings.warn(
+            f"artifact {path} embeds Mosaic kernel custom calls lowered "
+            f"with jax {meta.get('jax_version')}, but this host runs "
+            f"{jax.__version__}; kernel custom calls carry no "
+            "cross-version stability guarantee — re-export here or use a "
+            "kernel-free artifact for portability",
+            stacklevel=2,
+        )
     return exported.call, meta
 
 

@@ -138,6 +138,32 @@ def main():
                           "artifact_mb": round(size_mb, 1),
                           "fail": str(e)[:120]}))
 
+    # kernels-included artifact (with_kernels=True): same-compiler-version
+    # deployment — expected to match live perf and carry no batch ceiling
+    exported_k, meta_k = export_greedy_decode(
+        m, opts, batch=args.batch, from_audio=False, with_kernels=True
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "decode_k.qasrx")
+        save_artifact(path, exported_k, meta_k)
+        size_k = os.path.getsize(path) / 1e6
+        call_k, _ = load_artifact(path)
+
+    def artifact_k():
+        out = call_k(mel)
+        np.asarray(out[1])
+
+    try:
+        results["artifact_kernels"] = _time_reps(
+            artifact_k, args.batch, args.repeats)
+        print(json.dumps({"path": "artifact+kernels",
+                          "rtf": round(results["artifact_kernels"], 1),
+                          "artifact_mb": round(size_k, 1)}))
+    except Exception as e:
+        results["artifact_kernels"] = None
+        print(json.dumps({"path": "artifact+kernels", "rtf": None,
+                          "fail": str(e)[:120]}))
+
     summary = {
         "summary": "export_gap",
         "batch": args.batch,
@@ -150,12 +176,18 @@ def main():
         "note": "artifact excludes Pallas kernels by design (export.py); "
                 ">10% gap would motivate custom-call export",
     }
+    summary["artifact_kernels_rtf"] = (
+        round(results["artifact_kernels"], 1)
+        if results.get("artifact_kernels") else None)
     if results["artifact"]:
         summary["gap_vs_live_pct"] = round(
             (1.0 - results["artifact"] / results["live"]) * 100, 1)
     if results["live_nokernel"]:
         summary["gap_attributed_to_kernels_pct"] = round(
             (1.0 - results["live_nokernel"] / results["live"]) * 100, 1)
+    if results.get("artifact_kernels"):
+        summary["kernels_artifact_gap_vs_live_pct"] = round(
+            (1.0 - results["artifact_kernels"] / results["live"]) * 100, 1)
     print(json.dumps(summary))
 
 

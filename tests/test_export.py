@@ -220,3 +220,73 @@ def test_export_rejects_unknown_quantize(model):
                             without_timestamps=True),
             batch=1, quantize="int4",
         )
+
+
+def test_export_with_kernels_roundtrip(model, tmp_path):
+    """with_kernels=True: the safety check for tpu_custom_call is disabled
+    and version metadata is recorded for the load-time compatibility warn.
+    On the CPU test platform the kernels auto-gate OFF, so the traced
+    program is custom-call-free and the artifact stays token-exact vs
+    decode(); on a TPU host the same API embeds the Mosaic calls
+    (exercised by scripts/bench_export_gap.py on-chip)."""
+    import warnings
+
+    from qasr_ijcnlp_tpu.decode import DecodingOptions, decode
+    from qasr_ijcnlp_tpu.export import (
+        decode_artifact_tokens, export_greedy_decode, load_artifact,
+        save_artifact,
+    )
+
+    opts = DecodingOptions(
+        fp16=False, language="en", without_timestamps=True, sample_len=6
+    )
+    exported, meta = export_greedy_decode(
+        model, opts, batch=1, from_audio=False, with_kernels=True
+    )
+    assert meta["with_kernels"] is True
+    assert meta["jax_version"] == jax.__version__
+    path = str(tmp_path / "kern.qasrx")
+    save_artifact(path, exported, meta)
+    call, meta2 = load_artifact(path)  # same version: no warning expected
+
+    from qasr_ijcnlp_tpu.audio import log_mel_spectrogram
+
+    mel = np.asarray(log_mel_spectrogram(_audio(11, 1), DIMS.n_mels))
+    buf, cur_len, *_ = call(mel)
+    got = decode_artifact_tokens(buf, cur_len, meta2)
+    (expected,) = decode(model, mel, opts)
+    assert got[0] == list(expected.tokens)
+
+    # version-mismatch warning path
+    import json as _json
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    n = int(np.frombuffer(raw[8:12], np.uint32)[0])
+    meta_bad = _json.loads(raw[12:12 + n].decode())
+    meta_bad["jax_version"] = "0.0.1"
+    head = _json.dumps(meta_bad).encode()
+    path2 = str(tmp_path / "kern_bad.qasrx")
+    with open(path2, "wb") as f:
+        f.write(raw[:8])
+        f.write(np.uint32(len(head)).tobytes())
+        f.write(head)
+        f.write(raw[12 + n:])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_artifact(path2)
+    assert any("stability guarantee" in str(x.message) for x in w)
+
+
+def test_export_with_kernels_rejects_cross_platform(model):
+    from qasr_ijcnlp_tpu.decode import DecodingOptions
+    from qasr_ijcnlp_tpu.export import export_greedy_decode
+
+    opts = DecodingOptions(
+        fp16=False, language="en", without_timestamps=True, sample_len=4
+    )
+    with pytest.raises(ValueError, match="TPU-only"):
+        export_greedy_decode(
+            model, opts, batch=1, from_audio=False, with_kernels=True,
+            platforms=("tpu", "cpu"),
+        )
