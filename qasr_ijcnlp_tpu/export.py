@@ -61,12 +61,16 @@ def export_greedy_decode(
 
     ``with_kernels=True`` keeps the Pallas kernels in the artifact
     (``jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")``).
-    Trade-off, measured on-chip (scripts/bench_export_gap.py, B=128): the
-    portable kernel-free artifact decodes 12% slower than the live path and
-    cannot run batches ≥256 at all (the XLA-native encoder materializes
-    (B, H, 1500, 1500) attention logits — 13.2 GB at B=512), while a
-    kernels-included artifact matches live performance but is only valid on
-    the same TPU generation + compiler version it was lowered with (Mosaic
+    Trade-off, measured on-chip (scripts/bench_export_gap.py, B=128,
+    subprocess-isolated legs, 2026-08-21): the portable kernel-free
+    artifact decodes 10.2% slower than the live path (14,676 vs 16,352
+    RTF) and cannot run batches ≥256 at all (the XLA-native encoder
+    materializes (B, H, 1500, 1500) attention logits — 13.2 GB at B=512),
+    while a kernels-included artifact decodes 9% FASTER than live decode()
+    (17,824 RTF — same device program; the artifact call skips the host
+    planner's per-row result assembly/text decode, deferred to the
+    deployment side via decode_artifact_tokens) but is only valid on the
+    same TPU generation + compiler version it was lowered with (Mosaic
     custom calls carry no cross-version stability guarantee — the metadata
     records the jax/jaxlib versions for a load-time check).
     """

@@ -1,30 +1,45 @@
-"""On-chip A/B: live decode (Pallas kernels on) vs the exported StableHLO
-artifact (VERDICT r3 #6 / r4 #5).
+"""On-chip A/B: live decode (Pallas kernels on) vs exported StableHLO
+artifacts (VERDICT r3 #6 / r4 #5), kernel-free and kernels-included.
 
-Artifacts exclude Pallas kernels by design (export.py: tpu_custom_call has
-no cross-compiler-version stability guarantee), so the artifact runs the
-XLA-native formulations.  Three legs at the headline protocol
-(tiny, B=512, 64 suppressed-eot greedy steps, best-of-5 reps):
+Four legs at the headline protocol (tiny, B=128 default, 64 suppressed-eot
+greedy steps, best-of-5 reps):
 
-  live          -- decode() with the default-on kernels
-  live-nokernel -- decode() with fused mel/encoder/flash kernels disabled
-                   (isolates "kernels excluded" from "export overhead")
-  artifact      -- serialized -> deserialized jax.export artifact call
+  live             -- decode() with the default-on kernels
+  live-nokernel    -- decode() with fused mel/encoder/flash kernels disabled
+                      (isolates "kernels excluded" from "export overhead")
+  artifact         -- serialized -> deserialized jax.export artifact call
+                      (portable: Pallas custom calls excluded by design)
+  artifact-kernels -- with_kernels=True artifact (TPU/compiler-version-pinned,
+                      keeps the Pallas custom calls)
 
-Prints one JSON line per leg + a summary with the live->artifact gap.
-Pursue custom-call export only if the gap is >10% (VERDICT r3 #6).
+EACH LEG RUNS IN ITS OWN SUBPROCESS.  The first revision of this bench ran
+all four legs in one process and measured the last leg ~10-15% low: legs
+timed later in a process (after extra executables + 151 MB artifact
+constants are resident and caches were cleared) systematically drift slow —
+an interleaved clean-process A/B showed the kernels artifact FASTER than
+live (17.4k vs 16.4k RTF) where the one-process bench had reported it 10%
+slower.  Same measurement-discipline family as the r4
+bench_step_formulations bugs; fresh-process legs remove the confound.
 
-Usage: python scripts/bench_export_gap.py [--batch 512] [--steps 64]
+Prints one JSON line per leg + a summary with the live->artifact gaps.
+Pursue custom-call export only if the portable gap is >10% (VERDICT r3 #6)
+-- it is (~10-12% + a B>=256 batch ceiling), which is why
+with_kernels=True exists (export.py).
+
+Usage: python scripts/bench_export_gap.py [--batch 128] [--steps 64]
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, ".")
+
+LEGS = ("live", "live-nokernel", "artifact", "artifact-kernels")
 
 
 def _time_reps(fn, batch, repeats):
@@ -37,13 +52,8 @@ def _time_reps(fn, batch, repeats):
     return batch * 30.0 * repeats / dt
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--repeats", type=int, default=5)
-    args = ap.parse_args()
-
+def run_leg(leg: str, args) -> dict:
+    """One leg, fresh process state assumed (called under --leg)."""
     import numpy as np
 
     from qasr_ijcnlp_tpu.cli import enable_compilation_cache
@@ -77,117 +87,117 @@ def main():
         jnp.float32,
     )
 
-    results = {}
+    out = {"path": leg, "platform": jax.default_backend()}
 
-    def live():
-        r = decode(m, mel, opts)
-        assert len(r[0].tokens) >= 0
+    if leg == "live":
+        def live():
+            r = decode(m, mel, opts)
+            assert len(r[0].tokens) >= 0
+        out["rtf"] = round(_time_reps(live, args.batch, args.repeats), 1)
+        return out
 
-    results["live"] = _time_reps(live, args.batch, args.repeats)
-    print(json.dumps({"path": "live", "rtf": round(results["live"], 1),
-                      "platform": jax.default_backend()}))
+    if leg == "live-nokernel":
+        model.set_flash_attention(False)
+        audio_mod.set_fused_mel(False)
 
-    prev_flash = model._USE_FLASH
-    prev_mel = audio_mod._USE_FUSED_MEL
-    model.set_flash_attention(False)
-    audio_mod.set_fused_mel(False)
-    # the kernel flags are read at trace time and are NOT jit-key members;
-    # drop the compiled programs so the no-kernel leg actually retraces
-    jax.clear_caches()
-    try:
-        results["live_nokernel"] = _time_reps(live, args.batch, args.repeats)
-    except Exception as e:
-        # the XLA-native encoder materializes (B, H, 1500, 1500) attention
-        # logits — 13.2 GB at B=512 — so this leg (and the artifact, which
-        # runs the same formulation) has a batch ceiling the kernel path
-        # does not
-        results["live_nokernel"] = None
-        print(json.dumps({"path": "live-nokernel", "rtf": None,
-                          "fail": str(e)[:120]}))
-    finally:
-        model.set_flash_attention(prev_flash)
-        audio_mod.set_fused_mel(prev_mel)
-        jax.clear_caches()
-    if results["live_nokernel"] is not None:
-        print(json.dumps({"path": "live-nokernel",
-                          "rtf": round(results["live_nokernel"], 1)}))
+        def live():
+            r = decode(m, mel, opts)
+            assert len(r[0].tokens) >= 0
+        try:
+            out["rtf"] = round(
+                _time_reps(live, args.batch, args.repeats), 1)
+        except Exception as e:
+            # the XLA-native encoder materializes (B, H, 1500, 1500)
+            # attention logits -- 13.2 GB at B=512 -- so this leg (and the
+            # portable artifact, same formulation) has a batch ceiling the
+            # kernel path does not
+            out["rtf"] = None
+            out["fail"] = str(e)[:120]
+        return out
 
+    # artifact legs: export (untimed), save/load round-trip, time the call
+    with_kernels = leg == "artifact-kernels"
     exported, meta = export_greedy_decode(
-        m, opts, batch=args.batch, from_audio=False
+        m, opts, batch=args.batch, from_audio=False,
+        with_kernels=with_kernels,
     )
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "decode.qasrx")
         save_artifact(path, exported, meta)
-        size_mb = os.path.getsize(path) / 1e6
-        call, meta2 = load_artifact(path)
+        out["artifact_mb"] = round(os.path.getsize(path) / 1e6, 1)
+        call, _meta2 = load_artifact(path)
 
     def artifact():
-        out = call(mel)
+        r = call(mel)
         # host-materialize to sync (block_until_ready returns early
         # through the tunneled device link)
-        np.asarray(out[1])
+        np.asarray(r[1])
 
     try:
-        results["artifact"] = _time_reps(artifact, args.batch, args.repeats)
-        print(json.dumps({"path": "artifact",
-                          "rtf": round(results["artifact"], 1),
-                          "artifact_mb": round(size_mb, 1)}))
+        out["rtf"] = round(_time_reps(artifact, args.batch, args.repeats), 1)
     except Exception as e:
-        results["artifact"] = None
-        print(json.dumps({"path": "artifact", "rtf": None,
-                          "artifact_mb": round(size_mb, 1),
-                          "fail": str(e)[:120]}))
+        out["rtf"] = None
+        out["fail"] = str(e)[:120]
+    return out
 
-    # kernels-included artifact (with_kernels=True): same-compiler-version
-    # deployment — expected to match live perf and carry no batch ceiling
-    exported_k, meta_k = export_greedy_decode(
-        m, opts, batch=args.batch, from_audio=False, with_kernels=True
-    )
-    with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "decode_k.qasrx")
-        save_artifact(path, exported_k, meta_k)
-        size_k = os.path.getsize(path) / 1e6
-        call_k, _ = load_artifact(path)
 
-    def artifact_k():
-        out = call_k(mel)
-        np.asarray(out[1])
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--leg", choices=LEGS, default=None,
+                    help="internal: run one leg in this process")
+    args = ap.parse_args()
 
-    try:
-        results["artifact_kernels"] = _time_reps(
-            artifact_k, args.batch, args.repeats)
-        print(json.dumps({"path": "artifact+kernels",
-                          "rtf": round(results["artifact_kernels"], 1),
-                          "artifact_mb": round(size_k, 1)}))
-    except Exception as e:
-        results["artifact_kernels"] = None
-        print(json.dumps({"path": "artifact+kernels", "rtf": None,
-                          "fail": str(e)[:120]}))
+    if args.leg:
+        print(json.dumps(run_leg(args.leg, args)))
+        return
+
+    results = {}
+    for leg in LEGS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--leg", leg, "--batch", str(args.batch),
+             "--steps", str(args.steps), "--repeats", str(args.repeats)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = None
+        for ln in proc.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                line = ln
+        if line is None:
+            results[leg] = {"path": leg, "rtf": None,
+                            "fail": (proc.stderr or "no output")[-200:]}
+        else:
+            results[leg] = json.loads(line)
+        print(json.dumps(results[leg]))
+
+    def rtf(leg):
+        return results.get(leg, {}).get("rtf")
 
     summary = {
         "summary": "export_gap",
         "batch": args.batch,
-        "live_rtf": round(results["live"], 1),
-        "live_nokernel_rtf": (
-            round(results["live_nokernel"], 1)
-            if results["live_nokernel"] else None),
-        "artifact_rtf": (
-            round(results["artifact"], 1) if results["artifact"] else None),
-        "note": "artifact excludes Pallas kernels by design (export.py); "
-                ">10% gap would motivate custom-call export",
+        "isolation": "one subprocess per leg (see module docstring)",
+        "live_rtf": rtf("live"),
+        "live_nokernel_rtf": rtf("live-nokernel"),
+        "artifact_rtf": rtf("artifact"),
+        "artifact_kernels_rtf": rtf("artifact-kernels"),
+        "note": "portable artifact excludes Pallas kernels by design "
+                "(export.py); >10% gap motivates with_kernels=True export",
     }
-    summary["artifact_kernels_rtf"] = (
-        round(results["artifact_kernels"], 1)
-        if results.get("artifact_kernels") else None)
-    if results["artifact"]:
-        summary["gap_vs_live_pct"] = round(
-            (1.0 - results["artifact"] / results["live"]) * 100, 1)
-    if results["live_nokernel"]:
+    if rtf("artifact") and rtf("live"):
+        summary["portable_gap_vs_live_pct"] = round(
+            (1.0 - rtf("artifact") / rtf("live")) * 100, 1)
+    if rtf("live-nokernel") and rtf("live"):
         summary["gap_attributed_to_kernels_pct"] = round(
-            (1.0 - results["live_nokernel"] / results["live"]) * 100, 1)
-    if results.get("artifact_kernels"):
+            (1.0 - rtf("live-nokernel") / rtf("live")) * 100, 1)
+    if rtf("artifact-kernels") and rtf("live"):
         summary["kernels_artifact_gap_vs_live_pct"] = round(
-            (1.0 - results["artifact_kernels"] / results["live"]) * 100, 1)
+            (1.0 - rtf("artifact-kernels") / rtf("live")) * 100, 1)
     print(json.dumps(summary))
 
 
