@@ -18,7 +18,14 @@ import jax
 # Unconditional: the ambient environment pins an accelerator platform via a
 # site config (jax_platforms=axon,cpu) that overrides JAX_PLATFORMS; tests run
 # on virtual CPUs unless QASR_TEST_PLATFORM says otherwise.
-jax.config.update("jax_platforms", os.environ.get("QASR_TEST_PLATFORM", "cpu"))
+# QASR_TEST_PLATFORM=tpu means "run on the accelerator" — leave the ambient
+# config in charge rather than forcing jax_platforms="tpu": the tunneled chip
+# registers under the PLUGIN name "axon" (its backend still reports "tpu"),
+# so a literal "tpu" platform list fails to initialize on this container
+# ("No jellyfish device found") while a real TPU host works either way.
+_plat = os.environ.get("QASR_TEST_PLATFORM", "cpu")
+if _plat != "tpu":
+    jax.config.update("jax_platforms", _plat)
 
 import numpy as np
 import pytest
